@@ -1,0 +1,214 @@
+"""Real Wigner-D matrices and block-diagonal group actions — TPU-first.
+
+Reference behavior (lie_vae/lie_tools.py:195-253): per degree l, build
+``D^l(a,b,g) = Z(a) J Z(b) J Z(g)`` with dense (2l+1)^3 matmuls (where Z is
+the sparse real z-rotation block and J the constant Pinchon-Hoggan block),
+then loop over degrees in Python and ``bmm`` each block against a slice of
+the spectrum.
+
+TPU-first redesign (no per-degree Python matmul chain):
+
+1. The middle factor ``d(b) = J Z(b) J`` is a trigonometric polynomial in b:
+       d(b) = sum_m  cos(m b) * Ccos_m  +  sin(m b) * Csin_m,
+   with constant coefficient matrices derived from J once per ``max_degree``
+   (see ``_coeffs``). All degrees are packed into ONE block-diagonal
+   coefficient tensor C of shape (2L+1, S, S), S = (L+1)^2, so a single
+       einsum('bm,mse->bse', trig(b), C)
+   builds the middle factor for the whole spectrum at once — one
+   MXU-friendly contraction instead of 2(L+1) tiny matmuls.
+
+2. The outer factors are applied *elementwise* (VPU, no matmul), using the
+   identities (f = per-row frequency, rev = block-local reversal):
+       (Z(a) M)[i, j] = cos(f_i a) M[i, j] + sin(f_i a) M[rev(i), j]
+       (M Z(g))[i, j] = cos(f_j g) M[i, j] - sin(f_j g) M[i, rev(j)]
+
+The result is bit-equal (up to fp association) to the reference's chain and
+yields the full block-diagonal representation matrix W(a,b,g) of shape
+(B, S, S) in one fused XLA computation; the action on a spectrum is then a
+single batched matmul.
+"""
+import functools
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+__all__ = [
+    "j_matrix", "z_rot_mat", "wigner_d_matrix",
+    "block_wigner_matrix", "block_wigner_matrix_multiply",
+]
+
+_TABLE_PATH = os.path.join(os.path.dirname(__file__), "jd_tables.npz")
+
+
+@functools.lru_cache(maxsize=1)
+def _tables():
+    with np.load(_TABLE_PATH) as data:
+        lmax = int(data["lmax"])
+        return [np.asarray(data[f"J{l}"], dtype=np.float64)
+                for l in range(lmax + 1)]
+
+
+def j_matrix(l):
+    """The constant Pinchon-Hoggan J block for degree l, float64 numpy.
+
+    Equivalent of the reference's lru-cached lie_learn load
+    (lie_vae/lie_tools.py:10-14); here the tables are a generated asset
+    (see ops/_gen_jd.py).
+    """
+    tables = _tables()
+    if l >= len(tables):
+        raise ValueError(
+            f"degree {l} exceeds precomputed lmax={len(tables) - 1}; "
+            f"regenerate with `python -m lie_vae_tpu.ops._gen_jd --lmax {l}`")
+    return tables[l]
+
+
+def z_rot_mat(angle, l):
+    """Batched real z-rotation irrep block, (B, 2l+1, 2l+1).
+
+    Row i carries frequency l - i: cos on the diagonal, sin on the
+    anti-diagonal. Reference: _z_rot_mat, lie_vae/lie_tools.py:195-208.
+    Provided for tests/parity; the hot path never materializes Z.
+    """
+    angle = jnp.asarray(angle)
+    freqs = jnp.arange(l, -l - 1, -1, dtype=angle.dtype)
+    dim = 2 * l + 1
+    c = jnp.cos(freqs * angle[:, None])
+    s = jnp.sin(freqs * angle[:, None])
+    eye = jnp.eye(dim, dtype=angle.dtype)
+    anti = eye[::-1]
+    return c[:, :, None] * eye + s[:, :, None] * anti
+
+
+@functools.lru_cache(maxsize=32)
+def _coeffs(max_degree):
+    """Precompute (freqs, rev, C) for the packed block-diagonal rep.
+
+    - freqs: (S,) per-row frequency, concatenating arange(l, -l-1, -1)
+    - rev:   (S,) block-local reversed index
+    - C:     (2L+1, S, S) float64; index m in [0, L] holds the cos(m b)
+             coefficient matrix, index L + m (m in [1, L]) holds sin(m b).
+
+    Derivation: (J Z(b) J)[a, e]
+        = sum_c J[a, c] J[c, e] cos(f_c b) - J[a, 2l-c] J[c, e] sin(f_c b)
+    with f_c = l - c, so with m = |f_c|:
+        Ccos_m += outer(J[:, c], J[c, :])
+        Csin_m += -sign(f_c) * outer(J[:, 2l-c], J[c, :]).
+    """
+    L = max_degree
+    S = (L + 1) ** 2
+    freqs = np.concatenate(
+        [np.arange(l, -l - 1, -1) for l in range(L + 1)]).astype(np.float64)
+    rev = np.concatenate(
+        [np.arange(2 * l, -1, -1) + l * l for l in range(L + 1)]).astype(np.int32)
+    C = np.zeros((2 * L + 1, S, S), dtype=np.float64)
+    for l in range(L + 1):
+        J = j_matrix(l)
+        o = l * l
+        for c in range(2 * l + 1):
+            fc = l - c
+            m = abs(fc)
+            C[m, o:o + 2 * l + 1, o:o + 2 * l + 1] += np.outer(J[:, c], J[c, :])
+            if fc != 0:
+                C[L + m, o:o + 2 * l + 1, o:o + 2 * l + 1] += \
+                    -np.sign(fc) * np.outer(J[:, 2 * l - c], J[c, :])
+    return freqs, rev, C
+
+
+def _trig_basis(beta, L):
+    """(B, 2L+1): [cos(0 b) .. cos(L b), sin(1 b) .. sin(L b)]."""
+    m = jnp.arange(0, L + 1, dtype=beta.dtype)
+    arg = beta[:, None] * m[None, :]
+    return jnp.concatenate([jnp.cos(arg), jnp.sin(arg[:, 1:])], axis=-1)
+
+
+def block_wigner_matrix(angles, max_degree, dtype=None):
+    """Full block-diagonal real Wigner-D matrix, (B, S, S), S=(L+1)^2.
+
+    One einsum builds the middle factor for all degrees at once; outer
+    z-rotations are elementwise. See module docstring.
+    """
+    angles = jnp.asarray(angles)
+    assert angles.shape[-1] == 3, "angles must be (..., 3) ZYZ Euler"
+    batch_shape = angles.shape[:-1]
+    angles = angles.reshape((-1, 3))
+    dtype = dtype or angles.dtype
+
+    L = max_degree
+    freqs_np, rev_np, C_np = _coeffs(L)
+    freqs = jnp.asarray(freqs_np, dtype=dtype)
+    rev = jnp.asarray(rev_np)
+    C = jnp.asarray(C_np, dtype=dtype)
+
+    a, b, g = angles[:, 0], angles[:, 1], angles[:, 2]
+    t = _trig_basis(b, L)                                   # (B, 2L+1)
+    d = jnp.einsum("bm,mse->bse", t, C)                     # (B, S, S)
+
+    ca, sa = jnp.cos(freqs * a[:, None]), jnp.sin(freqs * a[:, None])
+    tmp = ca[:, :, None] * d + sa[:, :, None] * d[:, rev, :]
+    cg, sg = jnp.cos(freqs * g[:, None]), jnp.sin(freqs * g[:, None])
+    W = tmp * cg[:, None, :] - tmp[:, :, rev] * sg[:, None, :]
+    S = (L + 1) ** 2
+    return W.reshape(batch_shape + (S, S))
+
+
+def wigner_d_matrix(angles, degree, dtype=None):
+    """Single-degree real Wigner-D block, (..., 2l+1, 2l+1).
+
+    Same value as the reference chain Z(a) J Z(b) J Z(g)
+    (lie_vae/lie_tools.py:211-223), computed by trig synthesis.
+    """
+    angles = jnp.asarray(angles)
+    assert angles.shape[-1] == 3, "angles must be (..., 3) ZYZ Euler"
+    batch_shape = angles.shape[:-1]
+    angles = angles.reshape((-1, 3))
+    dtype = dtype or angles.dtype
+
+    l = degree
+    J = j_matrix(l)
+    dim = 2 * l + 1
+    if l == 0:
+        C_np = np.ones((1, 1, 1), dtype=np.float64)
+    else:
+        C_np = np.zeros((2 * l + 1, dim, dim), dtype=np.float64)
+        for c in range(dim):
+            fc = l - c
+            m = abs(fc)
+            C_np[m] += np.outer(J[:, c], J[c, :])
+            if fc != 0:
+                C_np[l + m] += -np.sign(fc) * np.outer(J[:, 2 * l - c], J[c, :])
+    C = jnp.asarray(C_np, dtype=dtype)
+    freqs = jnp.arange(l, -l - 1, -1, dtype=dtype)
+    rev = jnp.arange(dim - 1, -1, -1)
+
+    a, b, g = angles[:, 0], angles[:, 1], angles[:, 2]
+    t = _trig_basis(b, l) if l > 0 else jnp.ones((angles.shape[0], 1), dtype)
+    d = jnp.einsum("bm,mse->bse", t, C)
+    ca, sa = jnp.cos(freqs * a[:, None]), jnp.sin(freqs * a[:, None])
+    tmp = ca[:, :, None] * d + sa[:, :, None] * d[:, rev, :]
+    cg, sg = jnp.cos(freqs * g[:, None]), jnp.sin(freqs * g[:, None])
+    W = tmp * cg[:, None, :] - tmp[:, :, rev] * sg[:, None, :]
+    return W.reshape(batch_shape + (dim, dim))
+
+
+def block_wigner_matrix_multiply(angles, spectrum, max_degree, transpose=False):
+    """Rotate a direct-sum spectrum by the group element given as ZYZ angles.
+
+    Input:
+      - angles   (B, 3) ZYZ Euler angles
+      - spectrum (B, S, C) or (S, C) Fourier modes, S = (max_degree+1)^2
+      - transpose: apply the transposed representation matrices
+
+    Output: (B, S, C).
+
+    Reference: block_wigner_matrix_multiply, lie_vae/lie_tools.py:226-253
+    (a Python loop of per-degree bmm's). Here: one fused W build + one
+    batched matmul over the whole spectrum.
+    """
+    W = block_wigner_matrix(angles, max_degree, dtype=spectrum.dtype)
+    if transpose:
+        W = jnp.swapaxes(W, -1, -2)
+    if spectrum.ndim == 2:
+        return jnp.einsum("bse,ec->bsc", W, spectrum)
+    return jnp.einsum("bse,bec->bsc", W, spectrum)
