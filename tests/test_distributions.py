@@ -1,0 +1,262 @@
+"""Distribution tests: closed-form parity with the reference formulas
+(lie_vae/reparameterize.py), normalization checks by importance sampling,
+and gradient sanity."""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.special as sps
+import scipy.stats
+
+from lie_vae_tpu import distributions as dist
+from lie_vae_tpu import ops
+
+
+# ---------------------------------------------------------------- Gaussians
+
+def test_gaussian_kl_closed_form(key):
+    k1, k2, k3 = jax.random.split(key, 3)
+    mu = jax.random.normal(k1, (16, 5), dtype=jnp.float64)
+    sigma = jax.nn.softplus(jax.random.normal(k2, (16, 5), dtype=jnp.float64))
+    stats = dist.sample_gaussian(k3, mu, sigma, n=3)
+    # reference formula (reparameterize.py:36)
+    expected = -0.5 * np.sum(1 + 2 * np.log(np.asarray(sigma))
+                             - np.asarray(mu) ** 2 - np.asarray(sigma) ** 2, -1)
+    np.testing.assert_allclose(stats.kl(), expected, rtol=1e-12)
+    # KL == E_q[log q - log p] (MC, large n)
+    big = dist.sample_gaussian(k3, mu, sigma, n=20000)
+    mc = jnp.mean(big.log_posterior() - big.log_prior(), axis=0)
+    np.testing.assert_allclose(mc, expected, rtol=0.05, atol=0.05)
+
+
+def test_gaussian_log_posterior_matches_scipy(key):
+    k1, k2, k3 = jax.random.split(key, 3)
+    mu = jax.random.normal(k1, (4, 3), dtype=jnp.float64)
+    sigma = jax.nn.softplus(jax.random.normal(k2, (4, 3), dtype=jnp.float64))
+    stats = dist.sample_gaussian(k3, mu, sigma, n=2)
+    lp = np.asarray(stats.log_posterior())
+    ref = scipy.stats.norm.logpdf(np.asarray(stats.z), np.asarray(mu),
+                                  np.asarray(sigma)).sum(-1)
+    np.testing.assert_allclose(lp, ref, rtol=1e-10)
+
+
+def test_gaussian_deterministic_mode(key):
+    mu = jnp.arange(6.0).reshape(2, 3)
+    sigma = jnp.ones((2, 3))
+    stats = dist.sample_gaussian(key, mu, sigma, n=4, deterministic=True)
+    np.testing.assert_allclose(stats.z, jnp.broadcast_to(mu, (4, 2, 3)))
+
+
+def test_zero_mean_gaussian(key):
+    sigma = jnp.asarray([[0.3, 0.5, 0.9]], dtype=jnp.float64)
+    stats = dist.sample_zero_mean_gaussian(key, sigma, n=100000)
+    # empirical std matches
+    np.testing.assert_allclose(jnp.std(stats.z, axis=0), sigma, rtol=0.02)
+    # closed-form KL (reparameterize.py:125-126)
+    expected = -0.5 * np.sum(1 + 2 * np.log(np.asarray(sigma))
+                             - np.asarray(sigma) ** 2, -1)
+    np.testing.assert_allclose(stats.kl(), expected, rtol=1e-12)
+
+
+# ---------------------------------------------------------------- SO(3)
+
+def _oracle_wrapped_log_density(v, sigma, k=10, clamp=1e-3):
+    """Literal numpy transcription of the reference's formula
+    (reparameterize.py:233-263) as an independent oracle."""
+    v = np.asarray(v)
+    sigma = np.asarray(sigma)
+    theta = np.linalg.norm(v, axis=-1, keepdims=True)
+    u = v / theta
+    angles = 2 * np.pi * np.arange(-k, k + 1)
+    theta_hat = theta[..., None, :] + angles[:, None]
+    x = u[..., None, :] * theta_hat
+    log_p = scipy.stats.norm.logpdf(
+        x, 0.0, sigma[..., None, :]).sum(-1)
+    log_vol = np.log(np.maximum(theta_hat ** 2, clamp)
+                     / np.maximum(2 - 2 * np.cos(theta_hat), clamp)).sum(-1)
+    y = log_p + log_vol
+    return sps.logsumexp(y, axis=-1)
+
+
+def test_so3_log_posterior_matches_oracle(key):
+    k1, k2 = jax.random.split(key)
+    sigma = jax.nn.softplus(jax.random.normal(k1, (8, 3), dtype=jnp.float64))
+    mu_lie = ops.random_group_matrices(k2, 8, dtype=jnp.float64)
+    stats = dist.sample_so3(k1, mu_lie, sigma, n=4, k=10)
+    lp = np.asarray(stats.log_posterior())
+    oracle = _oracle_wrapped_log_density(stats.inner.z, sigma, k=10)
+    np.testing.assert_allclose(lp, oracle, rtol=1e-9, atol=1e-9)
+
+
+def test_so3_density_normalized(key):
+    """MC normalization: sample z ~ Haar, evaluate the wrapped density at
+    v = log(z); then E_Haar[q] * vol(SO3) = integral q = 1. (The measure
+    normalization is the one where exp is locally volume-preserving, so
+    vol(SO3) = 8 pi^2 — consistent with the reference's Haar prior
+    -log(8 pi^2), reparameterize.py:265-267.)"""
+    k1, k2 = jax.random.split(key)
+    sigma = jnp.full((1, 3), 0.8, dtype=jnp.float64)
+    z = ops.random_group_matrices(k2, 400000, dtype=jnp.float64)
+    v = ops.vee(ops.logmap(z))[None]                      # (1, N, 3)
+    logq = dist.so3_wrapped_log_density(v, sigma, k=10)   # (1, N)
+    est = float(jnp.mean(jnp.exp(logq))) * 8.0 * math.pi ** 2
+    assert abs(est - 1.0) < 0.03, f"integral q = {est}, should be ~1"
+
+
+def test_so3_sample_is_rotation(key):
+    k1, k2 = jax.random.split(key)
+    sigma = jnp.full((16, 3), 0.3, dtype=jnp.float64)
+    mu_lie = ops.random_group_matrices(k2, 16, dtype=jnp.float64)
+    stats = dist.sample_so3(k1, mu_lie, sigma, n=5)
+    z = stats.z
+    eye = jnp.broadcast_to(jnp.eye(3), z.shape)
+    np.testing.assert_allclose(z @ jnp.swapaxes(z, -1, -2), eye, atol=1e-10)
+    np.testing.assert_allclose(jnp.linalg.det(z), np.ones(z.shape[:2]),
+                               atol=1e-10)
+
+
+def test_so3_kl_grad_finite(key):
+    k1, k2 = jax.random.split(key)
+    mu_lie = ops.random_group_matrices(k2, 4, dtype=jnp.float64)
+
+    def f(raw_sigma):
+        sigma = jax.nn.softplus(raw_sigma)
+        stats = dist.sample_so3(k1, mu_lie, sigma, n=3, k=10)
+        return jnp.sum(stats.kl())
+
+    raw = jax.random.normal(key, (4, 3), dtype=jnp.float64)
+    g = jax.grad(f)(raw)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_so3_deterministic_mode(key):
+    mu_lie = ops.random_group_matrices(key, 4, dtype=jnp.float64)
+    sigma = jnp.full((4, 3), 0.2, dtype=jnp.float64)
+    stats = dist.sample_so3(key, mu_lie, sigma, n=3, deterministic=True)
+    np.testing.assert_allclose(stats.z, jnp.broadcast_to(mu_lie, (3, 4, 3, 3)))
+
+
+def test_so3_kl_decreases_with_concentration(key):
+    """A tighter posterior (smaller sigma) has *larger* KL to Haar uniform."""
+    mu_lie = jnp.eye(3, dtype=jnp.float64)[None]
+    kls = []
+    for s in (0.1, 0.5, 1.0):
+        sigma = jnp.full((1, 3), s, dtype=jnp.float64)
+        stats = dist.sample_so3(key, mu_lie, sigma, n=5000, k=10)
+        kls.append(float(stats.kl()[0]))
+    assert kls[0] > kls[1] > kls[2]
+    assert kls[0] > 0
+
+
+# ---------------------------------------------------------------- vMF
+
+def test_ive_matches_scipy():
+    z = np.linspace(0.1, 50.0, 200)
+    for v in (0, 1, 2, 3, 0.5, 1.5, 2.5):
+        ours = np.asarray(dist.ive(v, jnp.asarray(z)))
+        ref = sps.ive(v, z)
+        np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-12)
+
+
+@pytest.mark.parametrize("p", [3, 4, 5])
+def test_vmf_samples_on_sphere(key, p):
+    k1, k2 = jax.random.split(key)
+    mu = jax.random.normal(k1, (8, p), dtype=jnp.float64)
+    mu = mu / jnp.linalg.norm(mu, axis=-1, keepdims=True)
+    kappa = jnp.full((8, 1), 10.0, dtype=jnp.float64)
+    stats = dist.sample_vmf(k2, mu, kappa, n=100)
+    np.testing.assert_allclose(jnp.linalg.norm(stats.z, axis=-1),
+                               np.ones((100, 8)), atol=1e-9)
+
+
+@pytest.mark.parametrize("p,kap", [(4, 1.5), (4, 20.0), (3, 5.0)])
+def test_vmf_mean_resultant(key, p, kap):
+    """E[mu^T z] = A_p(kappa) = I_{p/2}(k)/I_{p/2-1}(k)."""
+    k1, k2 = jax.random.split(key)
+    mu = jax.random.normal(k1, (1, p), dtype=jnp.float64)
+    mu = mu / jnp.linalg.norm(mu, axis=-1, keepdims=True)
+    kappa = jnp.full((1, 1), kap, dtype=jnp.float64)
+    stats = dist.sample_vmf(k2, mu, kappa, n=100000)
+    emp = float(jnp.mean(jnp.sum(stats.z * mu, axis=-1)))
+    expected = float(sps.ive(p / 2, kap) / sps.ive(p / 2 - 1, kap))
+    assert abs(emp - expected) < 0.01, (emp, expected)
+
+
+def test_vmf_log_prob_normalized(key):
+    """E_q[uniform/q] = 1 on S^3."""
+    k1, k2 = jax.random.split(key)
+    mu = jnp.asarray([[1.0, 0, 0, 0]], dtype=jnp.float64)
+    kappa = jnp.full((1, 1), 3.0, dtype=jnp.float64)
+    stats = dist.sample_vmf(k2, mu, kappa, n=200000)
+    ratio = jnp.exp(stats.log_prior() - stats.log_posterior())
+    est = float(jnp.mean(ratio))
+    assert abs(est - 1.0) < 0.03, est
+
+
+def test_vmf_entropy_consistent(key):
+    """-E_q[log q] == entropy(kappa)."""
+    mu = jnp.asarray([[0.0, 0, 0, 1.0]], dtype=jnp.float64)
+    kappa = jnp.full((1, 1), 8.0, dtype=jnp.float64)
+    stats = dist.sample_vmf(key, mu, kappa, n=100000)
+    emp = float(-jnp.mean(stats.log_posterior()))
+    ana = float(stats.entropy()[0])
+    assert abs(emp - ana) < 0.02, (emp, ana)
+
+
+def test_vmf_kl_positive_and_grad(key):
+    mu = jnp.asarray([[0.0, 1.0, 0, 0]], dtype=jnp.float64)
+
+    def f(log_k):
+        kappa = jnp.exp(log_k)
+        stats = dist.sample_vmf(key, mu, kappa, n=4)
+        return jnp.sum(stats.kl())
+
+    log_k = jnp.log(jnp.full((1, 1), 5.0, dtype=jnp.float64))
+    val, g = jax.value_and_grad(f)(log_k)
+    assert float(val) > 0
+    assert np.isfinite(np.asarray(g)).all()
+    # KL to uniform increases with concentration
+    assert float(g[0, 0]) > 0
+
+
+def test_vmf_rsample_grad_through_kappa(key):
+    """Gradient of a sample statistic w.r.t. kappa must flow (rejection
+    reparameterization) and be positive for E[mu^T z]."""
+    mu = jnp.asarray([[1.0, 0, 0, 0]], dtype=jnp.float64)
+
+    def f(log_k):
+        kappa = jnp.exp(log_k)
+        stats = dist.sample_vmf(key, mu, kappa, n=2000)
+        return jnp.mean(jnp.sum(stats.z * mu, axis=-1))
+
+    g = jax.grad(f)(jnp.log(jnp.full((1, 1), 4.0, dtype=jnp.float64)))
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(g[0, 0]) > 0  # more concentration -> higher resultant
+
+
+def test_hyperspherical_uniform_entropy():
+    # S^3 surface area = 2 pi^2
+    np.testing.assert_allclose(
+        float(dist.hyperspherical_uniform_entropy(3, jnp.float64)),
+        math.log(2 * math.pi ** 2), rtol=1e-12)
+    # S^2 = 4 pi
+    np.testing.assert_allclose(
+        float(dist.hyperspherical_uniform_entropy(2, jnp.float64)),
+        math.log(4 * math.pi), rtol=1e-12)
+
+
+def test_vmf_jit(key):
+    mu = jnp.asarray([[1.0, 0, 0, 0]])
+    kappa = jnp.full((1, 1), 5.0)
+
+    @jax.jit
+    def f(key, mu, kappa):
+        stats = dist.sample_vmf(key, mu, kappa, n=3)
+        return stats.kl(), stats.log_posterior()
+
+    kl, lp = f(key, mu, kappa)
+    assert np.isfinite(np.asarray(kl)).all()
+    assert np.isfinite(np.asarray(lp)).all()
