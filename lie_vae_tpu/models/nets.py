@@ -1,0 +1,142 @@
+"""Flax neural building blocks (reference: lie_vae/experiments/nets.py).
+
+TPU-first choices:
+- NHWC layout throughout (the TPU-native conv layout; the reference is NCHW);
+- initializers reproduce torch's Linear/Conv defaults (kaiming-uniform with
+  a = sqrt(5), i.e. U(+/- 1/sqrt(fan_in)) for both kernel and bias), because
+  the reference's training regime (grad-norm clip 1e-5, main.py:171) makes
+  dynamics highly sensitive to the initialization scale;
+- no BatchNorm python branching inside jit: train/eval is a static flag.
+"""
+import math
+from typing import Any, Callable, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+from jax.nn.initializers import uniform as _uniform_base
+
+
+def torch_init(fan_in):
+    """U(-1/sqrt(fan_in), +1/sqrt(fan_in)) — torch's default Linear/Conv init."""
+    bound = 1.0 / math.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return _uniform_base(2.0 * bound)(key, shape, dtype) - bound
+
+    return init
+
+
+def uniform_init(low, high):
+    def init(key, shape, dtype=jnp.float32):
+        return _uniform_base(high - low)(key, shape, dtype) + low
+
+    return init
+
+
+class Dense(nn.Module):
+    """nn.Dense with torch-default initialization."""
+    features: int
+    kernel_init: Callable | None = None
+    bias_init: Callable | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        kinit = self.kernel_init or torch_init(fan_in)
+        binit = self.bias_init or torch_init(fan_in)
+        kernel = self.param("kernel", kinit, (fan_in, self.features))
+        bias = self.param("bias", binit, (self.features,))
+        return x @ kernel + bias
+
+
+class MLP(nn.Module):
+    """Dense stack; num_layers=0 means a single Linear.
+
+    Reference: MLP, lie_vae/experiments/nets.py:78-91.
+    """
+    out_dims: int
+    hidden_dims: int
+    num_layers: int = 1
+    activation: Callable = nn.relu
+
+    @nn.compact
+    def __call__(self, x):
+        if self.num_layers == 0:
+            return Dense(self.out_dims)(x)
+        x = self.activation(Dense(self.hidden_dims)(x))
+        for _ in range(self.num_layers - 1):
+            x = self.activation(Dense(self.hidden_dims)(x))
+        return Dense(self.out_dims)(x)
+
+
+def _conv(features, kernel, stride, pad, fan_in):
+    return nn.Conv(
+        features, (kernel, kernel), strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)) if pad else "VALID",
+        kernel_init=torch_init(fan_in), bias_init=torch_init(fan_in))
+
+
+def _deconv(features, kernel, stride, fan_in, valid=False):
+    # stride-2 'SAME' transpose conv doubles spatial dims (torch k4 s2 p1);
+    # 'VALID' stride-1 k4 maps 1x1 -> 4x4 (torch k4 s1 p0).
+    return nn.ConvTranspose(
+        features, (kernel, kernel), strides=(stride, stride),
+        padding="VALID" if valid else "SAME",
+        kernel_init=torch_init(fan_in), bias_init=torch_init(fan_in))
+
+
+class ConvEncoder(nn.Module):
+    """5-layer strided conv encoder, 64x64 -> out_dims (flattened 1x1).
+
+    Reference: ConvNet / ConvNetBN, lie_vae/experiments/nets.py:7-57
+    (channels in->h->2h->4h->8h->out, kernel 4 stride 2 pad 1, last 4/1/0,
+    LeakyReLU(0.2), optional BatchNorm after every conv). Input is NHWC.
+    """
+    out_dims: int
+    hidden_dims: int = 50
+    rgb: bool = False
+    batch_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x, train=True):
+        in_dims = 3 if self.rgb else 1
+        h = self.hidden_dims
+        widths = [h, 2 * h, 4 * h, 8 * h]
+        fan_ins = [in_dims] + widths[:-1]
+        for w, f in zip(widths, fan_ins):
+            x = _conv(w, 4, 2, 1, f * 16)(x)
+            if self.batch_norm:
+                x = nn.BatchNorm(use_running_average=not train,
+                                 momentum=0.9, epsilon=1e-5)(x)
+            x = nn.leaky_relu(x, 0.2)
+        x = _conv(self.out_dims, 4, 1, 0, widths[-1] * 16)(x)  # 4x4 -> 1x1
+        return x.reshape(x.shape[0], -1)
+
+
+class DeconvNet(nn.Module):
+    """1x1 -> 64x64 transpose-conv stack, NHWC; no output nonlinearity.
+
+    Reference: DeconvNet, lie_vae/experiments/nets.py:60-75.
+    """
+    in_dims: int
+    hidden_dims: int
+    rgb: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        out_dims = 3 if self.rgb else 1
+        h = self.hidden_dims
+        x = x.reshape(x.shape[0], 1, 1, self.in_dims)
+        x = nn.relu(_deconv(h, 4, 1, self.in_dims * 16, valid=True)(x))
+        x = nn.relu(_deconv(h, 4, 2, h * 16)(x))
+        x = nn.relu(_deconv(h, 4, 2, h * 16)(x))
+        x = nn.relu(_deconv(h, 4, 2, h * 16)(x))
+        x = _deconv(out_dims, 4, 2, h * 16)(x)
+        return x
+
+
+ACTIVATIONS = {
+    "relu": nn.relu,
+    "softplus": nn.softplus,
+    "tanh": jnp.tanh,
+}

@@ -1,0 +1,184 @@
+"""Model assembly tests: shape/finiteness parity across the reference's
+config grid (lie_vae/experiments/vae.py), gradient checks, AE mode."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lie_vae_tpu.models import LieVAE
+
+
+def _init_and_run(model, x, n=1, seed=0):
+    rngs = {"params": jax.random.PRNGKey(seed),
+            "sample": jax.random.PRNGKey(seed + 1)}
+    variables = model.init(rngs, x, n=n, train=True)
+    out, mutated = model.apply(
+        variables, x, n=n, train=True,
+        rngs={"sample": jax.random.PRNGKey(seed + 2)},
+        mutable=["batch_stats"])
+    return variables, out
+
+
+IMG_CONFIGS = [
+    dict(latent_mode="so3", decoder_mode="action", mean_mode="s2s2"),
+    dict(latent_mode="so3", decoder_mode="action", mean_mode="alg"),
+    dict(latent_mode="so3", decoder_mode="action", mean_mode="q"),
+    dict(latent_mode="so3", decoder_mode="action", mean_mode="s2s1"),
+    dict(latent_mode="so3", decoder_mode="mlp", mean_mode="s2s2"),
+    dict(latent_mode="normal", decoder_mode="mlp", normal_dims=30),
+    dict(latent_mode="normal", decoder_mode="action", normal_dims=3),
+    dict(latent_mode="vmf", decoder_mode="mlp"),
+    dict(latent_mode="vmfq", decoder_mode="action"),
+]
+
+
+@pytest.mark.parametrize("cfg", IMG_CONFIGS,
+                         ids=[f"{c['latent_mode']}-{c['decoder_mode']}"
+                              + c.get("mean_mode", "") for c in IMG_CONFIGS])
+def test_image_configs_forward(cfg):
+    model = LieVAE(encode_mode="conv", deconv_mode="deconv", rgb=True,
+                   degrees=2, deconv_hidden=8, rep_copies=2, **cfg)
+    x = jnp.zeros((2, 64, 64, 3))
+    _, (recon, stats) = _init_and_run(model, x, n=3)
+    assert recon.shape == (3, 2, 64, 64, 3)
+    assert np.isfinite(np.asarray(recon)).all()
+    assert len(stats) == 1
+    kl = stats[0].kl()
+    assert kl.shape == (2,)
+    assert np.isfinite(np.asarray(kl)).all()
+
+
+def test_toy_config_forward(key):
+    model = LieVAE(latent_mode="so3", decoder_mode="action",
+                   encode_mode="toy", deconv_mode="toy",
+                   mean_mode="s2s2", degrees=6, rep_copies=10)
+    x = jax.random.normal(key, (4, 49, 10))
+    _, (recon, stats) = _init_and_run(model, x, n=2)
+    assert recon.shape == (2, 4, 49, 10)
+    assert np.isfinite(np.asarray(recon)).all()
+
+
+def test_elbo_and_ll(key):
+    model = LieVAE(latent_mode="so3", decoder_mode="action",
+                   encode_mode="toy", deconv_mode="toy",
+                   mean_mode="s2s2", degrees=3, rep_copies=4)
+    x = jax.random.normal(key, (4, 16, 4))
+    rngs = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, x)
+
+    (recon, kl_sum, kls, stats), _ = model.apply(
+        variables, x, n=2, method="elbo",
+        rngs={"sample": jax.random.PRNGKey(2)}, mutable=["batch_stats"])
+    assert recon.shape == (2, 4)
+    assert kl_sum.shape == (4,)
+    assert len(kls) == 1
+    assert np.isfinite(np.asarray(recon)).all()
+    assert np.isfinite(np.asarray(kl_sum)).all()
+
+    ll = model.apply(variables, x, n=50, method="log_likelihood",
+                     rngs={"sample": jax.random.PRNGKey(3)})
+    assert np.isfinite(float(ll))
+
+
+def test_deterministic_ae_mode(key):
+    model = LieVAE(latent_mode="so3", decoder_mode="action",
+                   encode_mode="toy", deconv_mode="toy",
+                   mean_mode="alg", degrees=2, rep_copies=2,
+                   deterministic=True)
+    x = jax.random.normal(key, (3, 9, 2))
+    rngs = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, x)
+    # two applies with different sample rngs must agree exactly
+    out1, _ = model.apply(variables, x, n=2, train=True,
+                          rngs={"sample": jax.random.PRNGKey(5)},
+                          mutable=["batch_stats"])
+    out2, _ = model.apply(variables, x, n=2, train=True,
+                          rngs={"sample": jax.random.PRNGKey(99)},
+                          mutable=["batch_stats"])
+    np.testing.assert_allclose(out1[0], out2[0])
+    # samples along n axis identical
+    np.testing.assert_allclose(out1[0][0], out1[0][1])
+
+
+def test_fixed_item_rep(key):
+    spec = jax.random.normal(key, (9, 2))
+    model = LieVAE(latent_mode="so3", decoder_mode="action",
+                   encode_mode="toy", deconv_mode="toy",
+                   mean_mode="alg", degrees=2, rep_copies=2,
+                   fixed_item_rep=spec)
+    x = jax.random.normal(key, (3, 9, 2))
+    variables, _ = _init_and_run(model, x)
+    # no item_rep parameter when fixed
+    flat = jax.tree_util.tree_leaves_with_path(variables["params"])
+    names = ["/".join(str(p) for p in path) for path, _ in flat]
+    assert not any("item_rep" in n for n in names)
+
+
+def test_grad_flows_through_elbo(key):
+    model = LieVAE(latent_mode="so3", decoder_mode="action",
+                   encode_mode="toy", deconv_mode="toy",
+                   mean_mode="s2s2", degrees=2, rep_copies=2)
+    x = jax.random.normal(key, (4, 9, 2))
+    rngs = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, x)
+
+    def loss_fn(params):
+        (recon, kl_sum, _, _), _ = model.apply(
+            {"params": params}, x, n=1, method="elbo",
+            rngs={"sample": jax.random.PRNGKey(2)}, mutable=["batch_stats"])
+        return jnp.mean(recon + kl_sum)
+
+    g = jax.grad(loss_fn)(variables["params"])
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    # at least the decoder item_rep and encoder weights get signal
+    total = sum(float(jnp.sum(jnp.abs(l))) for l in leaves)
+    assert total > 0
+
+
+def test_normal_action_requires_3_dims():
+    with pytest.raises(ValueError):
+        model = LieVAE(latent_mode="normal", decoder_mode="action",
+                       normal_dims=5, encode_mode="toy", deconv_mode="toy")
+        model.init({"params": jax.random.PRNGKey(0),
+                    "sample": jax.random.PRNGKey(1)},
+                   jnp.zeros((2, 49, 10)))
+
+
+def test_conv_encoder_batchnorm_updates(key):
+    model = LieVAE(latent_mode="so3", decoder_mode="mlp", mean_mode="alg",
+                   encode_mode="conv", deconv_mode="deconv",
+                   degrees=2, rep_copies=2, deconv_hidden=4, batch_norm=True)
+    x = jax.random.normal(key, (2, 64, 64, 1))
+    rngs = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, x)
+    assert "batch_stats" in variables
+    _, mutated = model.apply(variables, x, train=True,
+                             rngs={"sample": jax.random.PRNGKey(2)},
+                             mutable=["batch_stats"])
+    # running stats moved
+    before = jax.tree_util.tree_leaves(variables["batch_stats"])
+    after = jax.tree_util.tree_leaves(mutated["batch_stats"])
+    assert any(not np.allclose(b, a) for b, a in zip(before, after))
+    # eval mode needs no mutability
+    model.apply(variables, x, train=False,
+                rngs={"sample": jax.random.PRNGKey(2)})
+
+
+def test_jit_full_forward(key):
+    model = LieVAE(latent_mode="so3", decoder_mode="action",
+                   encode_mode="toy", deconv_mode="toy",
+                   mean_mode="s2s2", degrees=6, rep_copies=10)
+    x = jax.random.normal(key, (8, 49, 10))
+    rngs = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, x)
+
+    @jax.jit
+    def run(variables, x, rng):
+        (recon, kl, _, _), _ = model.apply(
+            variables, x, method="elbo", rngs={"sample": rng},
+            mutable=["batch_stats"])
+        return jnp.mean(recon), jnp.mean(kl)
+
+    r, k = run(variables, x, jax.random.PRNGKey(2))
+    assert np.isfinite(float(r)) and np.isfinite(float(k))
