@@ -1,0 +1,88 @@
+"""Benchmark: spherecube SO(3)-VAE training steps/sec on one TPU chip.
+
+Measures the full jitted training step (conv encoder + BatchNorm, S2S2 mean,
+algebra-noise sampling, matrix->Euler->block-Wigner action decoder, deconv
+head, 21-shell wrapped-density KL, grad, global-norm clip, Adam) on the
+reference's canonical run shape: batch 64, 64x64 RGB, degrees 6, rep_copies
+10, deconv_hidden 200 (lie_vae/experiments/main.py:30-35,166-171).
+
+Prints ONE JSON line. vs_baseline compares against REF_STEPS_PER_SEC, an
+estimate of the reference PyTorch implementation's steps/sec on its original
+single-GPU setup (cuda 9.1 era hardware, README.md:18; the reference prints
+seconds/iteration at unsupervised.py:151-155 but publishes no numbers, so
+the baseline is an estimate of a 2018 desktop GPU on this model: ~30 it/s).
+The north-star target (BASELINE.md) is >=5x that.
+"""
+import json
+import time
+
+REF_STEPS_PER_SEC = 30.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from lie_vae_tpu.models import LieVAE
+    from lie_vae_tpu.train.state import TrainState, make_optimizer
+
+    model = LieVAE(latent_mode="so3", decoder_mode="action",
+                   mean_mode="s2s2", encode_mode="conv",
+                   deconv_mode="deconv", degrees=6, rep_copies=10,
+                   deconv_hidden=200, rgb=True, batch_norm=True)
+
+    batch = 64
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (batch, 64, 64, 3), jnp.float32)
+
+    variables = model.init(
+        {"params": jax.random.PRNGKey(1), "sample": jax.random.PRNGKey(2)},
+        x, n=1, train=True)
+    tx = make_optimizer(lr=1e-3, clip_grads=1e-5)
+    state = TrainState.create(params=variables["params"],
+                              batch_stats=variables["batch_stats"], tx=tx)
+
+    beta = jnp.float32(1.0)
+
+    def train_step(state, x, rng):
+        def loss_fn(params):
+            (recon, kl_sum, _, _), mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                x, n=1, train=True, method="elbo",
+                rngs={"sample": rng}, mutable=["batch_stats"])
+            loss = jnp.mean(recon) + beta * jnp.mean(kl_sum)
+            return loss, mut["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        return state.apply_gradients(grads, new_batch_stats=new_bs), loss
+
+    step = jax.jit(train_step, donate_argnums=0)
+
+    # warmup / compile
+    state, loss = step(state, x, jax.random.PRNGKey(3))
+    jax.block_until_ready(loss)
+
+    n_iters = 200
+    rngs = [jax.random.PRNGKey(10 + i) for i in range(n_iters)]
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        state, loss = step(state, x, rngs[i])
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    steps_per_sec = n_iters / dt
+
+    print(json.dumps({
+        "metric": "spherecube_so3_vae_train_steps_per_sec_per_chip",
+        "value": round(steps_per_sec, 2),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_sec / REF_STEPS_PER_SEC, 2),
+        "baseline_note": ("REF_STEPS_PER_SEC=30 estimated 2018-GPU "
+                          "reference throughput; batch 64, 64x64 RGB, "
+                          "degrees 6; loss=%.1f" % float(loss)),
+    }))
+
+
+if __name__ == "__main__":
+    main()

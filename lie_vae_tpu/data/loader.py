@@ -1,0 +1,81 @@
+"""Host-side batch loader with threaded prefetch.
+
+Replaces the reference's torch DataLoader worker processes
+(lie_vae/experiments/unsupervised.py:32-37, num_workers at datasets.py:16).
+TPU-first differences:
+
+- batches are assembled into single contiguous numpy arrays (one device put
+  per step, no per-item tensor traffic);
+- ``drop_last=True`` by default for training so every step has a static
+  shape (no XLA recompilation on the ragged last batch); evaluation keeps
+  ragged batches on host;
+- prefetch is a thread pool with a bounded lookahead (image decode releases
+  the GIL), overlapping host IO with device compute.
+"""
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from queue import Queue
+
+import numpy as np
+
+
+class BatchLoader:
+    def __init__(self, dataset, batch_size, shuffle=True, drop_last=True,
+                 seed=0, num_threads=None, prefetch=4):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.epoch = 0
+        if num_threads is None:
+            num_threads = getattr(dataset, "num_workers", 0)
+        self.num_threads = num_threads
+        self.prefetch = prefetch
+        self.prep = getattr(dataset, "prep_batch", lambda b: b)
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _index_batches(self):
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            order = rng.permutation(n)
+        else:
+            order = np.arange(n)
+        stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        return [order[i:i + self.batch_size]
+                for i in range(0, stop, self.batch_size)]
+
+    def __iter__(self):
+        batches = self._index_batches()
+        self.epoch += 1
+        gather = self.dataset.gather
+
+        if self.num_threads <= 0:
+            for idx in batches:
+                yield self.prep(gather(idx))
+            return
+
+        # bounded-lookahead threaded prefetch
+        q = Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def produce():
+            with ThreadPoolExecutor(self.num_threads) as pool:
+                for out in pool.map(gather, batches):
+                    q.put(out)
+            q.put(sentinel)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield self.prep(item)
+        t.join()

@@ -1,0 +1,150 @@
+"""Image-folder datasets with pose labels parsed from filenames.
+
+Reference: lie_vae/experiments/datasets.py:15-127. Same index semantics
+(files.txt or recursive jpg/png glob, sorted), same seeded subsampling
+(numpy seed 0 with state save/restore), same filename-quaternion regex —
+datasets on disk are interchangeable between the two frameworks.
+
+TPU-first deltas: images load as NHWC float32 numpy (not NCHW torch
+tensors), and batches are assembled host-side into single contiguous
+arrays ready for a one-shot device put.
+"""
+import os
+import re
+from glob import glob
+
+import numpy as np
+
+from lie_vae_tpu.data._np_ops import quaternions_to_group_matrix_np
+
+_QUAT_RE = re.compile(r"-?[01]\.[0-9]{4}")
+_NAME_RE = re.compile(r"([A-z0-9]+)\.obj")
+
+
+def filename_to_quaternion(filename):
+    """Pose label from filename: four '-x.xxxx' floats.
+
+    Reference: datasets.py:67-72 (same regex).
+    """
+    matches = _QUAT_RE.findall(filename)
+    assert len(matches) == 4, "No quaternion found in " + filename
+    return [float(x) for x in matches]
+
+
+def filename_to_name(filename):
+    match = _NAME_RE.search(filename)
+    assert match is not None, "Could not find object id from filename"
+    return match.group(1)
+
+
+def _load_image(path, rgb):
+    from PIL import Image
+    img = np.asarray(Image.open(path), dtype=np.float32) / 255.0
+    if rgb:
+        return img[:, :, :3]                       # HWC
+    if img.ndim == 3:                              # mean if RGB
+        img = img.mean(-1)
+    return img[:, :, None]                         # HW1
+
+
+class ShapeDataset:
+    """Reference: ShapeDataset, datasets.py:15-84."""
+    num_workers = 5
+    rgb = False
+    single_id = False
+
+    def __init__(self, directory, subsample=1.0):
+        self.directory = directory
+        index_path = os.path.join(directory, "files.txt")
+        if os.path.exists(index_path):
+            with open(index_path) as f:
+                self.files = f.read().splitlines()
+            self.root = directory
+        else:
+            self.files = glob(os.path.join(directory, "**/*.jpg"),
+                              recursive=True)
+            self.files += glob(os.path.join(directory, "**/*.png"),
+                               recursive=True)
+            self.root = None
+        self.files = sorted(self.files)
+
+        if subsample < 1:
+            # identical seed semantics to datasets.py:33-37
+            state = np.random.get_state()
+            np.random.seed(0)
+            self.files = list(np.random.choice(
+                self.files, int(len(self.files) * subsample), replace=False))
+            np.random.set_state(state)
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, idx):
+        return self.load_file(self.files[idx], self.root)
+
+    @classmethod
+    def load_file(cls, filename, root):
+        path = os.path.join(root, filename) if root else filename
+        image = _load_image(path, cls.rgb)
+        quaternion = filename_to_quaternion(filename)
+        group_el = quaternions_to_group_matrix_np(np.asarray(quaternion))
+        name = 0 if cls.single_id else filename_to_name(filename)
+        return name, group_el, image
+
+    def gather(self, indices):
+        names, gs, imgs = zip(*[self[i] for i in indices])
+        return (np.asarray(names, dtype=object if not self.single_id
+                           else np.int32),
+                np.stack(gs, 0), np.stack(imgs, 0))
+
+    @staticmethod
+    def prep_batch(batch):
+        return batch
+
+
+class SphereCubeDataset(ShapeDataset):
+    """Reference: datasets.py:87-92."""
+    rgb = True
+    single_id = True
+
+    def __init__(self, directory="data/spherecube", subsample=1.0):
+        super().__init__(directory, subsample=subsample)
+
+
+class ScPairsDataset(ShapeDataset):
+    """Consecutive-pose pairs stacked along a pair axis; prep_batch flattens
+    the pairs into the batch. Reference: datasets.py:95-127."""
+    rgb = True
+    single_id = True
+
+    def __init__(self, directory="data/sc-pairs", subsample=1.0):
+        super().__init__(directory)
+        n = len(self.files) // 2
+        if subsample < 1:
+            state = np.random.get_state()
+            np.random.seed(0)
+            self.indices = np.random.permutation(n)[:int(n * subsample)]
+            np.random.set_state(state)
+        else:
+            self.indices = np.arange(n)
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, idx):
+        idx = self.indices[idx]
+        filenames = self.files[2 * idx:2 * idx + 2]
+        assert len(filenames) == 2, "File not found"
+        names, gs, imgs = zip(*[self.load_file(f, self.root)
+                                for f in filenames])
+        return (np.asarray(names, dtype=np.int32),
+                np.stack(gs, 0), np.stack(imgs, 0))
+
+    def gather(self, indices):
+        names, gs, imgs = zip(*[self[i] for i in indices])
+        return np.stack(names, 0), np.stack(gs, 0), np.stack(imgs, 0)
+
+    @staticmethod
+    def prep_batch(batch):
+        # flatten (B, 2, ...) pairs into the batch axis (datasets.py:125-127)
+        return [t.reshape((-1,) + t.shape[2:]) for t in batch]

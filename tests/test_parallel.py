@@ -1,0 +1,111 @@
+"""Multi-device sharding tests on a virtual 8-device CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from lie_vae_tpu.data import ToyDataset, random_split
+from lie_vae_tpu.models import LieVAE
+from lie_vae_tpu.parallel import (
+    make_mesh, param_shardings, shard_batch, shard_state)
+from lie_vae_tpu.train import ConstantSchedule, UnsupervisedExperiment
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh(8, 1)
+    assert mesh.devices.shape == (8, 1)
+    assert mesh.axis_names == ("data", "model")
+    mesh2 = make_mesh(4, 2)
+    assert mesh2.devices.shape == (4, 2)
+
+
+def test_shard_batch_places_on_data_axis():
+    mesh = make_mesh(8, 1)
+    x = jnp.arange(16 * 4, dtype=jnp.float32).reshape(16, 4)
+    xs = shard_batch(x, mesh)
+    assert xs.sharding.spec == P("data", None)
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(x))
+
+
+def test_param_shardings_model_axis():
+    mesh = make_mesh(4, 2)
+    params = {"big": jnp.zeros((256, 64)), "small": jnp.zeros((4, 4)),
+              "vec": jnp.zeros((300,))}
+    sh = param_shardings(params, mesh, min_size=1024)
+    assert sh["big"].spec == P(None, "model")
+    assert sh["small"].spec == P()
+    assert sh["vec"].spec == P()
+
+
+def _make_experiment(mesh):
+    ds = ToyDataset.generate(n=256, degrees=2, rep_copies=3)
+    valid, test, train = random_split(ds, [32, 32, 192])
+    model = LieVAE(latent_mode="so3", decoder_mode="action",
+                   encode_mode="toy", deconv_mode="toy", mean_mode="s2s2",
+                   degrees=2, rep_copies=3)
+    return UnsupervisedExperiment(
+        model=model, train_dataset=train, test_dataset=valid,
+        beta_schedule=ConstantSchedule(1.0), batch_size=64,
+        report_freq=10 ** 9, lr=1e-3, clip_grads=None, mesh=mesh)
+
+
+def test_data_parallel_training_runs():
+    mesh = make_mesh(8, 1)
+    exp = _make_experiment(mesh)
+    exp.train(0)
+    vals = exp.test()
+    assert np.isfinite(vals).all()
+
+
+def test_data_parallel_matches_single_device():
+    """One DP step from identical state must match the unsharded step
+    numerically (same global batch, same rng)."""
+    ds = ToyDataset.generate(n=128, degrees=2, rep_copies=3)
+    model = LieVAE(latent_mode="so3", decoder_mode="action",
+                   encode_mode="toy", deconv_mode="toy", mean_mode="s2s2",
+                   degrees=2, rep_copies=3)
+
+    def build(mesh):
+        return UnsupervisedExperiment(
+            model=model, train_dataset=ds, test_dataset=ds,
+            beta_schedule=ConstantSchedule(1.0), batch_size=64,
+            report_freq=10 ** 9, lr=1e-3, clip_grads=None, mesh=mesh,
+            seed=0)
+
+    exp1 = build(None)
+    exp8 = build(make_mesh(8, 1))
+    # same init (same seed) — check then train one epoch each
+    p1 = jax.tree_util.tree_leaves(exp1.state.params)
+    p8 = jax.tree_util.tree_leaves(exp8.state.params)
+    for a, b in zip(p1, p8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    exp1.train(0)
+    exp8.train(0)
+    for a, b in zip(jax.tree_util.tree_leaves(exp1.state.params),
+                    jax.tree_util.tree_leaves(exp8.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_model_axis_sharded_state():
+    mesh = make_mesh(4, 2)
+    ds = ToyDataset.generate(n=128, degrees=2, rep_copies=3)
+    model = LieVAE(latent_mode="so3", decoder_mode="mlp", mean_mode="alg",
+                   encode_mode="toy", deconv_mode="toy",
+                   degrees=2, rep_copies=3, mlp_hidden=64)
+    exp = UnsupervisedExperiment(
+        model=model, train_dataset=ds, test_dataset=ds,
+        beta_schedule=ConstantSchedule(1.0), batch_size=32,
+        report_freq=10 ** 9, lr=1e-3, clip_grads=None, mesh=mesh)
+    # at least one parameter actually lives on the model axis
+    shardings = jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+        lambda p: p.sharding.spec, exp.state.params,
+        is_leaf=lambda x: hasattr(x, "sharding")))
+    assert any("model" in str(s) for s in shardings)
+    exp.train(0)
+    assert np.isfinite(exp.test()).all()

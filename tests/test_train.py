@@ -1,0 +1,163 @@
+"""Training harness tests: schedules (porting the reference's inline test,
+experiments/utils.py:88-109), optimizer semantics, and the end-to-end toy
+integration (the minimum slice of SURVEY.md section 7)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from lie_vae_tpu.data import ToyDataset, random_split
+from lie_vae_tpu.models import LieVAE
+from lie_vae_tpu.train import (
+    ConstantSchedule, LinearSchedule, UnsupervisedExperiment,
+    get_beta_schedule, make_optimizer)
+
+
+def test_linear_schedule_reference_values():
+    # Reference: test_linear_schedule, experiments/utils.py:88-105
+    s = LinearSchedule(4, 10, 1, 4)
+    for x, y in [(0, 4), (1, 4), (2, 6), (3, 8), (4, 10), (5, 10)]:
+        np.testing.assert_allclose(s(x), y)
+    s = LinearSchedule(10, 4, 1, 4)
+    for x, y in [(0, 10), (1, 10), (2, 8), (3, 6), (4, 4), (5, 4)]:
+        np.testing.assert_allclose(s(x), y)
+
+
+def test_beta_schedule_presets():
+    # Constant fallback and a couple of presets (beta_schedule.py:4-59)
+    assert get_beta_schedule(None, 0.7)(123456) == 0.7
+    x = get_beta_schedule("x", None)
+    np.testing.assert_allclose(x(0), 7.0)
+    np.testing.assert_allclose(x(250000), 7.0)
+    np.testing.assert_allclose(x(500000), 11.0)
+    np.testing.assert_allclose(x(750000), 15.0)
+    np.testing.assert_allclose(x(10 ** 7), 15.0)
+    with pytest.raises(ValueError):
+        get_beta_schedule("t", None)  # deliberately missing in the reference
+
+
+def test_clip_then_adam_ordering():
+    """Gradient must be clipped to the global-norm bound before Adam."""
+    params = {"w": jnp.asarray([10.0, 10.0])}
+    tx = make_optimizer(lr=1e-3, clip_grads=1e-5)
+    opt_state = tx.init(params)
+    grads = {"w": jnp.asarray([1000.0, 0.0])}
+    updates, _ = tx.update(grads, opt_state, params)
+    # after clipping, the gradient norm is 1e-5; Adam's first step is
+    # lr * g / (sqrt(g^2) + eps) ~ lr in the nonzero coordinate
+    assert abs(float(updates["w"][0])) <= 1.1e-3
+    assert float(updates["w"][1]) == 0.0
+
+
+def test_selective_clip_masks_decoder():
+    """The masked clip must rescale only encoder + rep_group gradients
+    (reference: unsupervised.py:111-116). (Tested on the clip transform
+    itself — Adam is scale-invariant, so post-Adam magnitudes can't
+    distinguish the mask.)"""
+    from lie_vae_tpu.train.state import _selective_mask
+
+    model = LieVAE(latent_mode="so3", decoder_mode="action",
+                   encode_mode="toy", deconv_mode="toy", mean_mode="alg",
+                   degrees=2, rep_copies=2)
+    x = jnp.zeros((2, 9, 2))
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "sample": jax.random.PRNGKey(1)}, x)
+    params = variables["params"]
+    mask = _selective_mask(params)
+    assert all(jax.tree_util.tree_leaves(mask["encoder"]))
+    assert all(jax.tree_util.tree_leaves(mask["rep_group"]))
+    assert not any(jax.tree_util.tree_leaves(mask["decoder"]))
+
+    clip = optax.masked(optax.clip_by_global_norm(1e-5), mask)
+    opt_state = clip.init(params)
+    grads = jax.tree_util.tree_map(lambda p: jnp.ones_like(p), params)
+    clipped, _ = clip.update(grads, opt_state, params)
+    # decoder untouched, encoder/rep_group scaled to the tiny global norm
+    assert all(np.allclose(g, 1.0)
+               for g in jax.tree_util.tree_leaves(clipped["decoder"]))
+    enc_leaves = jax.tree_util.tree_leaves(clipped["encoder"])
+    assert max(float(jnp.abs(g).max()) for g in enc_leaves) < 1e-5
+
+
+def _toy_experiment(deterministic=True, beta=0.0, n=256, fixed=False, **kw):
+    ds = ToyDataset.generate(n=n, degrees=3, rep_copies=4)
+    nv = n // 8
+    valid, test, train = random_split(ds, [nv, nv, n - 2 * nv])
+    model = LieVAE(latent_mode="so3", decoder_mode="action",
+                   encode_mode="toy", deconv_mode="toy", mean_mode="s2s2",
+                   degrees=3, rep_copies=4, deterministic=deterministic,
+                   fixed_item_rep=ds.harmonics if fixed else None)
+    return UnsupervisedExperiment(
+        model=model, train_dataset=train, test_dataset=valid,
+        beta_schedule=ConstantSchedule(beta), batch_size=32,
+        report_freq=10 ** 9, lr=1e-3, clip_grads=None, **kw)
+
+
+def test_toy_ae_trains():
+    """Integration: the toy SO(3) auto-encoder (BASELINE.json config 1,
+    ground-truth spectrum) must make substantial progress within ~2k steps.
+
+    Note: from-scratch pose recovery has a well-known non-convex landscape
+    (the paper's subject — encoder local minima); full convergence takes far
+    longer than a unit test, so the bar is a robust 25% reduction. The
+    exactness of the pipeline itself is pinned by
+    test_decode_exact_at_ground_truth below.
+    """
+    exp = _toy_experiment(deterministic=True, beta=0.0, n=1024, fixed=True)
+    first = exp.test()[0]
+    for epoch in range(100):
+        exp.train(epoch)
+    last = exp.test()[0]
+    assert last < 0.75 * first, (first, last)
+
+
+def test_decode_exact_at_ground_truth():
+    """The recon loss at the ground-truth poses is ~0: the decode path
+    (matrix -> quaternion -> ZYZ Euler -> block Wigner) exactly inverts the
+    toy generator (quaternion -> Euler -> block Wigner). This is the
+    self-consistency fixture of SURVEY.md section 4."""
+    from lie_vae_tpu import ops
+
+    ds = ToyDataset.generate(n=64, degrees=3, rep_copies=4)
+    g = ops.quaternions_to_group_matrix(jnp.asarray(ds.quaternions))
+    angles = ops.group_matrix_to_eazyz(g)
+    x_rec = ops.block_wigner_matrix_multiply(
+        angles, jnp.asarray(ds.harmonics), 3)
+    err = float(jnp.max(jnp.sum((x_rec - jnp.asarray(ds.x)) ** 2,
+                                axis=(-2, -1))))
+    assert err < 1e-8, err
+
+
+def test_vae_kl_term_active():
+    exp = _toy_experiment(deterministic=False, beta=1.0)
+    exp.train(0)
+    vals = exp.test()
+    assert np.isfinite(vals).all()
+    assert vals[1] != 0.0  # KL is being estimated
+
+
+def test_control_mode_runs():
+    exp = _toy_experiment(deterministic=False, beta=2.0, control=10.0,
+                          control_p=2)
+    exp.train(0)
+    assert np.isfinite(exp.test()).all()
+
+
+def test_log_likelihood_runs():
+    exp = _toy_experiment(deterministic=False, beta=1.0)
+    exp.train(0)
+    ll = exp.log_likelihood(exp.test_dataset, n=20, max_items=3)
+    assert np.isfinite(ll)
+
+
+def test_best_value_tracked(tmp_path):
+    exp = _toy_experiment(deterministic=True, beta=0.0,
+                          log=str(tmp_path / "logs"))
+    exp.report_freq = 3
+    exp.train(0)
+    assert exp.best_value < np.inf
+    # metrics jsonl written with the reference tag names
+    text = (tmp_path / "logs" / "metrics.jsonl").read_text()
+    for tag in ("train_recon", "train_kl", "test_recon", "beta"):
+        assert tag in text
