@@ -1,10 +1,19 @@
 """Benchmark: spherecube SO(3)-VAE training steps/sec on one TPU chip.
 
-Measures the full jitted training step (conv encoder + BatchNorm, S2S2 mean,
+Measures the full training step (conv encoder + BatchNorm, S2S2 mean,
 algebra-noise sampling, matrix->Euler->block-Wigner action decoder, deconv
 head, 21-shell wrapped-density KL, grad, global-norm clip, Adam) on the
 reference's canonical run shape: batch 64, 64x64 RGB, degrees 6, rep_copies
 10, deconv_hidden 200 (lie_vae/experiments/main.py:30-35,166-171).
+
+Production configuration: bfloat16 conv compute (fp32 params/Lie math) and
+lax.scan of 32 steps per dispatch (the framework's steps_per_call feature) —
+per-call host->chip latency through this image's tunneled runtime is ~10ms,
+so single-step dispatch measures the tunnel, not the chip.
+
+Timing note: on this platform jax.block_until_ready returns before remote
+execution completes, so the harness drains the queue with a scalar device->
+host read of the final loss (a true data dependency on every step).
 
 Prints ONE JSON line. vs_baseline compares against REF_STEPS_PER_SEC, an
 estimate of the reference PyTorch implementation's steps/sec on its original
@@ -17,12 +26,13 @@ import json
 import time
 
 REF_STEPS_PER_SEC = 30.0
+SCAN_K = 32
+N_CALLS = 10  # 320 timed steps
 
 
 def main():
     import jax
     import jax.numpy as jnp
-    import optax
 
     from lie_vae_tpu.models import LieVAE
     from lie_vae_tpu.train.state import TrainState, make_optimizer
@@ -30,19 +40,18 @@ def main():
     model = LieVAE(latent_mode="so3", decoder_mode="action",
                    mean_mode="s2s2", encode_mode="conv",
                    deconv_mode="deconv", degrees=6, rep_copies=10,
-                   deconv_hidden=200, rgb=True, batch_norm=True)
+                   deconv_hidden=200, rgb=True, batch_norm=True,
+                   compute_dtype="bfloat16")
 
     batch = 64
-    key = jax.random.PRNGKey(0)
-    x = jax.random.uniform(key, (batch, 64, 64, 3), jnp.float32)
-
+    x = jax.random.uniform(jax.random.PRNGKey(0), (batch, 64, 64, 3),
+                           jnp.float32)
     variables = model.init(
         {"params": jax.random.PRNGKey(1), "sample": jax.random.PRNGKey(2)},
         x, n=1, train=True)
     tx = make_optimizer(lr=1e-3, clip_grads=1e-5)
     state = TrainState.create(params=variables["params"],
                               batch_stats=variables["batch_stats"], tx=tx)
-
     beta = jnp.float32(1.0)
 
     def train_step(state, x, rng):
@@ -58,20 +67,26 @@ def main():
             loss_fn, has_aux=True)(state.params)
         return state.apply_gradients(grads, new_batch_stats=new_bs), loss
 
-    step = jax.jit(train_step, donate_argnums=0)
+    def multi_step(state, x, rng):
+        def body(s, k):
+            s2, l = train_step(s, x, k)
+            return s2, l
+        s, ls = jax.lax.scan(body, state, jax.random.split(rng, SCAN_K))
+        return s, ls[-1]
 
-    # warmup / compile
+    step = jax.jit(multi_step, donate_argnums=0)
+
+    # warmup / compile; drain via scalar readback
     state, loss = step(state, x, jax.random.PRNGKey(3))
-    jax.block_until_ready(loss)
+    float(loss)
 
-    n_iters = 200
-    rngs = [jax.random.PRNGKey(10 + i) for i in range(n_iters)]
     t0 = time.perf_counter()
-    for i in range(n_iters):
-        state, loss = step(state, x, rngs[i])
-    jax.block_until_ready(loss)
+    for i in range(N_CALLS):
+        state, loss = step(state, x, jax.random.fold_in(
+            jax.random.PRNGKey(10), i))
+    final_loss = float(loss)          # true queue drain
     dt = time.perf_counter() - t0
-    steps_per_sec = n_iters / dt
+    steps_per_sec = N_CALLS * SCAN_K / dt
 
     print(json.dumps({
         "metric": "spherecube_so3_vae_train_steps_per_sec_per_chip",
@@ -80,7 +95,8 @@ def main():
         "vs_baseline": round(steps_per_sec / REF_STEPS_PER_SEC, 2),
         "baseline_note": ("REF_STEPS_PER_SEC=30 estimated 2018-GPU "
                           "reference throughput; batch 64, 64x64 RGB, "
-                          "degrees 6; loss=%.1f" % float(loss)),
+                          "degrees 6, bf16 compute, scan=%d; loss=%.1f"
+                          % (SCAN_K, final_loss)),
     }))
 
 

@@ -69,6 +69,7 @@ def build_model(args, dataset, item_rep):
         mlp_hidden=args.mlp_hidden,
         mlp_activation=args.mlp_activation,
         fixed_sigma=args.fixed_sigma,
+        compute_dtype=args.compute_dtype,
     )
 
 
@@ -120,6 +121,7 @@ def main(argv=None):
         log=MetricWriter(args.log_dir),
         mesh=mesh,
         log_histograms=args.log_histograms,
+        steps_per_call=args.steps_per_call,
     )
 
     if args.continue_epoch > 0 and args.save_dir:
@@ -210,6 +212,12 @@ def parse_args(argv=None):
                         help="model-parallel mesh axis size")
     parser.add_argument("--toy_path", default="data/toy.npz")
     parser.add_argument("--log_histograms", action="store_true")
+    parser.add_argument("--steps_per_call", type=int, default=1,
+                        help="optimizer steps per jitted dispatch (scan); "
+                             "use 8-32 on TPU to amortize host overhead")
+    parser.add_argument("--compute_dtype", default=None,
+                        help="conv/MLP compute dtype, e.g. bfloat16 "
+                             "(params and Lie math stay float32)")
     parser.add_argument("--ll_samples", type=int, default=500)
     parser.add_argument("--ll_max_items", type=int, default=None)
 

@@ -155,8 +155,8 @@ def _sample_w(key, kappa, p, n, num_iters=32):
         key, eps_acc, done, _ = state
         key, k_eps, k_u = jax.random.split(key, 3)
         eps = jax.random.beta(k_eps, (p - 1.0) / 2.0, (p - 1.0) / 2.0,
-                              (n,) + b_shape)
-        u = jax.random.uniform(k_u, (n,) + b_shape)
+                              (n,) + b_shape, dtype=kappa.dtype)
+        u = jax.random.uniform(k_u, (n,) + b_shape, dtype=kappa.dtype)
         w = (1.0 - (1.0 + b_d) * eps) / (1.0 - (1.0 - b_d) * eps)
         t = 2.0 * a_d * b_d / (1.0 - (1.0 - b_d) * eps)
         accept = ((p - 1.0) * jnp.log(t) - t + d_d) >= jnp.log(u)

@@ -66,13 +66,14 @@ class MLPDecoder(nn.Module):
     layers: int = 3
     hidden_dims: int = 50
     activation: Callable = nn.relu
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, content=None):
         matrix_dims = (self.degrees + 1) ** 2
         x = x.reshape(x.shape[0], -1)
         out = MLP(matrix_dims * self.rep_copies, self.hidden_dims,
-                  self.layers, self.activation)(x)
+                  self.layers, self.activation, dtype=self.dtype)(x)
         if self.deconv is None:
             return out.reshape(-1, matrix_dims, self.rep_copies)
         return self.deconv(out)

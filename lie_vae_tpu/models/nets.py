@@ -34,10 +34,15 @@ def uniform_init(low, high):
 
 
 class Dense(nn.Module):
-    """nn.Dense with torch-default initialization."""
+    """nn.Dense with torch-default initialization.
+
+    dtype: optional compute dtype (params stay float32; inputs and kernel
+    are cast for the matmul — the TPU mixed-precision pattern).
+    """
     features: int
     kernel_init: Callable | None = None
     bias_init: Callable | None = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -46,6 +51,10 @@ class Dense(nn.Module):
         binit = self.bias_init or torch_init(fan_in)
         kernel = self.param("kernel", kinit, (fan_in, self.features))
         bias = self.param("bias", binit, (self.features,))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
+            bias = bias.astype(self.dtype)
         return x @ kernel + bias
 
 
@@ -58,31 +67,35 @@ class MLP(nn.Module):
     hidden_dims: int
     num_layers: int = 1
     activation: Callable = nn.relu
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         if self.num_layers == 0:
-            return Dense(self.out_dims)(x)
-        x = self.activation(Dense(self.hidden_dims)(x))
+            return Dense(self.out_dims, dtype=self.dtype)(x)
+        x = self.activation(Dense(self.hidden_dims, dtype=self.dtype)(x))
         for _ in range(self.num_layers - 1):
-            x = self.activation(Dense(self.hidden_dims)(x))
-        return Dense(self.out_dims)(x)
+            x = self.activation(Dense(self.hidden_dims, dtype=self.dtype)(x))
+        out = Dense(self.out_dims, dtype=self.dtype)(x)
+        return out.astype(jnp.float32) if self.dtype is not None else out
 
 
-def _conv(features, kernel, stride, pad, fan_in):
+def _conv(features, kernel, stride, pad, fan_in, dtype=None):
     return nn.Conv(
         features, (kernel, kernel), strides=(stride, stride),
         padding=((pad, pad), (pad, pad)) if pad else "VALID",
-        kernel_init=torch_init(fan_in), bias_init=torch_init(fan_in))
+        kernel_init=torch_init(fan_in), bias_init=torch_init(fan_in),
+        dtype=dtype)
 
 
-def _deconv(features, kernel, stride, fan_in, valid=False):
+def _deconv(features, kernel, stride, fan_in, valid=False, dtype=None):
     # stride-2 'SAME' transpose conv doubles spatial dims (torch k4 s2 p1);
     # 'VALID' stride-1 k4 maps 1x1 -> 4x4 (torch k4 s1 p0).
     return nn.ConvTranspose(
         features, (kernel, kernel), strides=(stride, stride),
         padding="VALID" if valid else "SAME",
-        kernel_init=torch_init(fan_in), bias_init=torch_init(fan_in))
+        kernel_init=torch_init(fan_in), bias_init=torch_init(fan_in),
+        dtype=dtype)
 
 
 class ConvEncoder(nn.Module):
@@ -96,6 +109,7 @@ class ConvEncoder(nn.Module):
     hidden_dims: int = 50
     rgb: bool = False
     batch_norm: bool = True
+    dtype: Any = None    # compute dtype for convs (params stay fp32)
 
     @nn.compact
     def __call__(self, x, train=True):
@@ -104,13 +118,16 @@ class ConvEncoder(nn.Module):
         widths = [h, 2 * h, 4 * h, 8 * h]
         fan_ins = [in_dims] + widths[:-1]
         for w, f in zip(widths, fan_ins):
-            x = _conv(w, 4, 2, 1, f * 16)(x)
+            x = _conv(w, 4, 2, 1, f * 16, dtype=self.dtype)(x)
             if self.batch_norm:
+                # BatchNorm statistics in fp32 for stability
                 x = nn.BatchNorm(use_running_average=not train,
-                                 momentum=0.9, epsilon=1e-5)(x)
+                                 momentum=0.9, epsilon=1e-5,
+                                 dtype=self.dtype)(x)
             x = nn.leaky_relu(x, 0.2)
-        x = _conv(self.out_dims, 4, 1, 0, widths[-1] * 16)(x)  # 4x4 -> 1x1
-        return x.reshape(x.shape[0], -1)
+        x = _conv(self.out_dims, 4, 1, 0, widths[-1] * 16,
+                  dtype=self.dtype)(x)  # 4x4 -> 1x1
+        return x.reshape(x.shape[0], -1).astype(jnp.float32)
 
 
 class DeconvNet(nn.Module):
@@ -121,18 +138,21 @@ class DeconvNet(nn.Module):
     in_dims: int
     hidden_dims: int
     rgb: bool = False
+    dtype: Any = None    # compute dtype for convs (params stay fp32)
 
     @nn.compact
     def __call__(self, x):
         out_dims = 3 if self.rgb else 1
         h = self.hidden_dims
+        d = self.dtype
         x = x.reshape(x.shape[0], 1, 1, self.in_dims)
-        x = nn.relu(_deconv(h, 4, 1, self.in_dims * 16, valid=True)(x))
-        x = nn.relu(_deconv(h, 4, 2, h * 16)(x))
-        x = nn.relu(_deconv(h, 4, 2, h * 16)(x))
-        x = nn.relu(_deconv(h, 4, 2, h * 16)(x))
-        x = _deconv(out_dims, 4, 2, h * 16)(x)
-        return x
+        x = nn.relu(_deconv(h, 4, 1, self.in_dims * 16, valid=True,
+                            dtype=d)(x))
+        x = nn.relu(_deconv(h, 4, 2, h * 16, dtype=d)(x))
+        x = nn.relu(_deconv(h, 4, 2, h * 16, dtype=d)(x))
+        x = nn.relu(_deconv(h, 4, 2, h * 16, dtype=d)(x))
+        x = _deconv(out_dims, 4, 2, h * 16, dtype=d)(x)
+        return x.astype(jnp.float32)
 
 
 ACTIVATIONS = {

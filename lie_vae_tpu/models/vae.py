@@ -53,6 +53,10 @@ class LieVAE(nn.Module):
     mlp_hidden: int = 50
     mlp_activation: str = "relu"
     fixed_sigma: Optional[float] = None
+    # TPU mixed precision: compute dtype for the conv/deconv/MLP stacks
+    # ('bfloat16' for the MXU fast path); params, Lie-group math, densities
+    # and losses stay float32. None = full float32.
+    compute_dtype: Optional[str] = None
     # optional per-reparameterizer feature hook (the reference's r_callback,
     # vae.py:137, which is never assigned there — fixed here as opt-in)
     r_callback: Optional[Tuple[Callable, ...]] = None
@@ -81,13 +85,16 @@ class LieVAE(nn.Module):
     def setup(self):
         in_dims = self._in_dims()
         act = ACTIVATIONS[self.mlp_activation]
+        cdt = (jnp.dtype(self.compute_dtype)
+               if self.compute_dtype is not None else None)
 
         # encoder (vae.py:56-70)
         if self.encode_mode == "conv":
             self.encoder = ConvEncoder(in_dims, rgb=self.rgb,
-                                       batch_norm=self.batch_norm)
+                                       batch_norm=self.batch_norm,
+                                       dtype=cdt)
         elif self.encode_mode == "toy":
-            self.encoder = MLP(in_dims, 100, 2, act)
+            self.encoder = MLP(in_dims, 100, 2, act, dtype=cdt)
         else:
             raise ValueError("Wrong encode mode")
 
@@ -110,7 +117,7 @@ class LieVAE(nn.Module):
         matrix_dims = (self.degrees + 1) ** 2
         if self.deconv_mode == "deconv":
             deconv = DeconvNet(matrix_dims * self.rep_copies,
-                               self.deconv_hidden, rgb=self.rgb)
+                               self.deconv_hidden, rgb=self.rgb, dtype=cdt)
         elif self.deconv_mode == "toy":
             deconv = None
         else:
@@ -127,7 +134,7 @@ class LieVAE(nn.Module):
                 degrees=self.degrees, deconv=deconv,
                 in_dims=self.group_dims, rep_copies=self.rep_copies,
                 layers=self.mlp_layers, hidden_dims=self.mlp_hidden,
-                activation=act)
+                activation=act, dtype=cdt)
         else:
             raise ValueError("Wrong decoder mode")
 

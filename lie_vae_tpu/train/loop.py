@@ -40,7 +40,7 @@ class UnsupervisedExperiment:
                  clip_grads=1e-5, selective_clip=False, batch_size=64,
                  equivariance_lamb=None, encoder_continuity_lamb=None,
                  control=None, control_p=1, log=None, seed=0, mesh=None,
-                 log_histograms=False, init_state=None):
+                 log_histograms=False, init_state=None, steps_per_call=1):
         self.model = model
         self.control = control
         self.control_p = control_p
@@ -55,6 +55,11 @@ class UnsupervisedExperiment:
         self.log_histograms = log_histograms
         self.mesh = mesh
         self.best_value = np.inf
+        # TPU host-overhead amortization: lax.scan K optimizer steps inside
+        # one jitted call (per-call dispatch to the chip costs ~10ms through
+        # a tunneled runtime; K=16 makes it negligible). Schedules still
+        # advance per *step* — beta/lambda enter as (K,) arrays.
+        self.steps_per_call = max(1, int(steps_per_call))
 
         self.train_loader = BatchLoader(
             train_dataset, batch_size, shuffle=True, drop_last=True,
@@ -92,6 +97,8 @@ class UnsupervisedExperiment:
             self.state = shard_state(self.state, mesh)
 
         self._train_step = jax.jit(self._build_train_step(),
+                                   donate_argnums=0)
+        self._multi_step = jax.jit(self._build_multi_step(),
                                    donate_argnums=0)
         self._eval_step = jax.jit(self._build_eval_step())
 
@@ -169,6 +176,25 @@ class UnsupervisedExperiment:
 
         return step
 
+    def _build_multi_step(self):
+        """scan-of-K train steps: one dispatch, K optimizer updates.
+
+        xs: (K, B, ...); betas/lamb_eqs/lamb_conts: (K,); rngs: (K, 2).
+        Returns (state, metrics with a leading K axis).
+        """
+        step = self._build_train_step()
+
+        def multi(state, xs, betas, lamb_eqs, lamb_conts, rngs):
+            def body(s, inp):
+                x, beta, le, lc, rng = inp
+                s2, m = step(s, x, beta, le, lc, rng)
+                return s2, m
+
+            return jax.lax.scan(
+                body, state, (xs, betas, lamb_eqs, lamb_conts, rngs))
+
+        return multi
+
     def _build_eval_step(self):
         model = self.model
         n = self.elbo_samples
@@ -185,11 +211,12 @@ class UnsupervisedExperiment:
 
     # --------------------------------------------------------------- data
 
-    def _put(self, x):
+    def _put(self, x, batch_axis=0):
         x = jnp.asarray(x)
         if self.mesh is not None:
-            spec = P("data", *([None] * (x.ndim - 1)))
-            return jax.device_put(x, NamedSharding(self.mesh, spec))
+            spec = [None] * x.ndim
+            spec[batch_axis] = "data"
+            return jax.device_put(x, NamedSharding(self.mesh, P(*spec)))
         return x
 
     # --------------------------------------------------------------- eval
@@ -209,38 +236,72 @@ class UnsupervisedExperiment:
 
     # -------------------------------------------------------------- train
 
+    def _schedule_values(self, global_it):
+        beta = self.beta_schedule(global_it)
+        lamb_eq = (self.equivariance_lamb(global_it)
+                   if self.equivariance_lamb else 0.0)
+        lamb_cont = (self.encoder_continuity_lamb(global_it)
+                     if self.encoder_continuity_lamb else 0.0)
+        return beta, lamb_eq, lamb_cont
+
     def train(self, epoch):
         """One epoch. Reference: unsupervised.py:69-156 (same reporting
-        cadence, tags, and printed line)."""
+        cadence, tags, and printed line). With steps_per_call > 1, batches
+        are grouped and scanned in one dispatch; reporting lands on the
+        first group boundary at/after report_freq."""
         num_batches = len(self.train_loader)
+        K = self.steps_per_call
         window = []      # async device scalars; synced at report time
+        steps_since_report = 0
         start = time.time()
-        for it, batch in enumerate(self.train_loader):
-            x = self._put(self.train_dataset.prep_batch(batch)[-1])
-            global_it = epoch * num_batches + it + 1
-            beta = self.beta_schedule(global_it)
-            lamb_eq = (self.equivariance_lamb(global_it)
-                       if self.equivariance_lamb else 0.0)
-            lamb_cont = (self.encoder_continuity_lamb(global_it)
-                         if self.encoder_continuity_lamb else 0.0)
-            rng = jax.random.fold_in(self._rng, global_it)
 
-            self.state, metrics = self._train_step(
-                self.state, x, float(beta), float(lamb_eq),
-                float(lamb_cont), rng)
-            window.append(metrics)
-
-            if (it + 1) % self.report_freq == 0 or it + 1 == num_batches:
-                self._report(window, epoch, it, global_it, beta,
-                             lamb_eq, lamb_cont, start)
+        def flush(group, it):
+            nonlocal steps_since_report, window, start
+            if not group:
+                return
+            its, xs = zip(*group)
+            scheds = [self._schedule_values(g) for g in its]
+            rngs = jnp.stack([jax.random.fold_in(self._rng, g) for g in its])
+            xs = self._put(np.stack(xs), batch_axis=1)
+            betas, eqs, conts = (jnp.asarray([s[i] for s in scheds],
+                                             dtype=jnp.float32)
+                                 for i in range(3))
+            self.state, metrics = self._multi_step(
+                self.state, xs, betas, eqs, conts, rngs)
+            window.append((metrics, len(group)))
+            steps_since_report += len(group)
+            if (steps_since_report >= self.report_freq
+                    or it + 1 == num_batches):
+                beta, lamb_eq, lamb_cont = scheds[-1]
+                self._report(window, epoch, it, its[-1], beta,
+                             lamb_eq, lamb_cont, start,
+                             n_steps=steps_since_report)
                 window = []
+                steps_since_report = 0
                 start = time.time()
 
+        group = []
+        for it, batch in enumerate(self.train_loader):
+            x = self.train_dataset.prep_batch(batch)[-1]
+            global_it = epoch * num_batches + it + 1
+            group.append((global_it, np.asarray(x)))
+            if len(group) == K or it + 1 == num_batches:
+                flush(group, it)
+                group = []
+
+    @staticmethod
+    def _window_mean(window, name):
+        vals = []
+        for metrics, count in window:
+            arr = np.asarray(metrics[name], dtype=np.float64).reshape(-1)
+            vals.append(arr[:count])
+        return float(np.mean(np.concatenate(vals)))
+
     def _report(self, window, epoch, it, global_it, beta, lamb_eq,
-                lamb_cont, start):
-        n_steps = len(window)
-        train_recon = float(np.mean([float(m["recon"]) for m in window]))
-        train_kl = float(np.mean([float(m["kl"]) for m in window]))
+                lamb_cont, start, n_steps=None):
+        n_steps = n_steps or sum(c for _, c in window)
+        train_recon = self._window_mean(window, "recon")
+        train_kl = self._window_mean(window, "kl")
 
         if np.isnan(train_kl):
             raise RuntimeError("NaN KL")
@@ -249,14 +310,15 @@ class UnsupervisedExperiment:
                             global_it)
         self.log.add_scalar("train_recon", train_recon, global_it)
         self.log.add_scalar("train_kl", train_kl, global_it)
-        if "equivariance" in window[-1]:
-            eq = float(np.mean([float(m["equivariance"]) for m in window]))
-            self.log.add_scalar("equivariance", eq, global_it)
+        if "equivariance" in window[-1][0]:
+            self.log.add_scalar("equivariance",
+                                self._window_mean(window, "equivariance"),
+                                global_it)
             self.log.add_scalar("equivariance_lamb", lamb_eq, global_it)
-        if "encoder_continuity" in window[-1]:
-            ct = float(np.mean([float(m["encoder_continuity"])
-                                for m in window]))
-            self.log.add_scalar("encoder_continuity", ct, global_it)
+        if "encoder_continuity" in window[-1][0]:
+            self.log.add_scalar(
+                "encoder_continuity",
+                self._window_mean(window, "encoder_continuity"), global_it)
             self.log.add_scalar("encoder_continuity_lamb", lamb_cont,
                                 global_it)
 

@@ -151,6 +151,41 @@ def test_log_likelihood_runs():
     assert np.isfinite(ll)
 
 
+def test_steps_per_call_scan_matches_single(tmp_path):
+    """K-step scan training must produce the same parameters as K single
+    steps (same batches, same per-step rngs/schedules)."""
+    ds = ToyDataset.generate(n=128, degrees=2, rep_copies=3)
+
+    def build(k):
+        model = LieVAE(latent_mode="so3", decoder_mode="action",
+                       encode_mode="toy", deconv_mode="toy",
+                       mean_mode="s2s2", degrees=2, rep_copies=3)
+        return UnsupervisedExperiment(
+            model=model, train_dataset=ds, test_dataset=ds,
+            beta_schedule=ConstantSchedule(1.0), batch_size=32,
+            report_freq=10 ** 9, lr=1e-3, clip_grads=None, seed=0,
+            steps_per_call=k)
+
+    e1, e4 = build(1), build(4)
+    e1.train(0)
+    e4.train(0)
+    for a, b in zip(jax.tree_util.tree_leaves(e1.state.params),
+                    jax.tree_util.tree_leaves(e4.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_steps_per_call_with_ragged_tail(tmp_path):
+    """Batch count not divisible by K: the tail group still runs and
+    reporting still fires."""
+    exp = _toy_experiment(deterministic=True, beta=0.0, n=256,
+                          steps_per_call=4)
+    # 224 train examples / 32 batch = 7 batches -> groups of 4 and 3
+    exp.report_freq = 5
+    exp.train(0)
+    assert np.isfinite(exp.test()).all()
+
+
 def test_best_value_tracked(tmp_path):
     exp = _toy_experiment(deterministic=True, beta=0.0,
                           log=str(tmp_path / "logs"))
