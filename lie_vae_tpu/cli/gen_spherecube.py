@@ -1,0 +1,114 @@
+"""Sphere-cube dataset generator CLI.
+
+Mirrors the reference's generator (lie_vae/experiments/gen_spherecube_pairs.py):
+sample Haar-random pose a, perturbation d = exp(N(0, step)), pair b = a @ d,
+write per-pose images with the quaternion embedded in the filename (4-decimal
+floats — the exact format the dataset loaders parse back,
+datasets.py:67-72).
+
+Rendering backends:
+- default: the in-repo numpy ray-caster (data/render.py) — no external deps;
+- --blender: shell out to Blender with the fresh script
+  lie_vae_tpu/data/blender_spherecube.py (requires a blender binary).
+
+Usage:
+  python -m lie_vae_tpu.cli.gen_spherecube NUM DIR            # pairs
+  python -m lie_vae_tpu.cli.gen_spherecube NUM DIR --singles  # single poses
+"""
+import argparse
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+
+def _pose_name(index, sub, q):
+    return "{:06d}_{}_{:.4f}_{:.4f}_{:.4f}_{:.4f}.png".format(
+        index, sub, *[float(x) for x in q])
+
+
+def generate(num, out_dir, step_size, size=64, pairs=True, seed=0,
+             use_blender=False):
+    import jax
+    import jax.numpy as jnp
+
+    from lie_vae_tpu import ops
+
+    key = jax.random.PRNGKey(seed)
+    k_a, k_d = jax.random.split(key)
+    a_r = ops.random_group_matrices(k_a, num)
+    if pairs:
+        d = ops.expmap(jax.random.normal(k_d, (num, 3)) * step_size)
+        b_r = a_r @ d
+        r = jnp.stack([a_r, b_r], 1)                    # (num, 2, 3, 3)
+    else:
+        r = a_r[:, None]                                # (num, 1, 3, 3)
+    q = ops.group_matrix_to_quaternions(r)
+
+    r_np = np.asarray(r)
+    q_np = np.asarray(q)
+    names = [[_pose_name(i, j, q_np[i, j]) for j in range(r_np.shape[1])]
+             for i in range(num)]
+
+    os.makedirs(out_dir, exist_ok=True)
+    if use_blender:
+        _render_blender(r_np, names, out_dir, size)
+    else:
+        _render_numpy(r_np, names, out_dir, size)
+    return names
+
+
+def _render_numpy(r, names, out_dir, size, batch=256):
+    from PIL import Image
+
+    from lie_vae_tpu.data.render import render_spherecube
+
+    flat_r = r.reshape(-1, 3, 3)
+    flat_names = [n for row in names for n in row]
+    for i in range(0, len(flat_r), batch):
+        imgs = render_spherecube(flat_r[i:i + batch], size=size)
+        for img, name in zip(imgs, flat_names[i:i + batch]):
+            Image.fromarray((img * 255).astype(np.uint8)).save(
+                os.path.join(out_dir, name))
+
+
+def _render_blender(r, names, out_dir, size):
+    import json
+    import tempfile
+
+    from lie_vae_tpu import ops
+
+    q = np.asarray(ops.group_matrix_to_quaternions(r.reshape(-1, 3, 3)))
+    flat_names = [n for row in names for n in row]
+    with tempfile.NamedTemporaryFile("w", suffix=".json",
+                                     delete=False) as f:
+        json.dump({"quaternions": q.tolist(), "names": flat_names,
+                   "out_dir": os.path.abspath(out_dir), "size": size}, f)
+        spec = f.name
+    script = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data", "blender_spherecube.py")
+    subprocess.check_call(["blender", "--background", "--python", script,
+                           "--", spec])
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(__doc__)
+    parser.add_argument("num", type=int)
+    parser.add_argument("dir")
+    parser.add_argument("--step_size", type=float, default=2 * np.pi / 60)
+    parser.add_argument("--size", type=int, default=64)
+    parser.add_argument("--singles", action="store_true",
+                        help="single poses (spherecube) instead of pairs "
+                             "(sc-pairs)")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--blender", action="store_true")
+    args = parser.parse_args(argv)
+    generate(args.num, args.dir, args.step_size, size=args.size,
+             pairs=not args.singles, seed=args.seed,
+             use_blender=args.blender)
+    print(f"Wrote {'pairs' if not args.singles else 'poses'} to {args.dir}")
+
+
+if __name__ == "__main__":
+    main()

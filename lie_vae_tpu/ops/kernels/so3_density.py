@@ -1,0 +1,93 @@
+"""Pallas TPU kernel: fused SO(3) wrapped pushforward log-density.
+
+One kernel computes, per sample, the full 2k+1-shell evaluation
+(reference: lie_vae/reparameterize.py:233-263):
+  theta = |v|; for each shell j: Gaussian log-density at u*(theta + 2 pi j)
+  summed over the algebra axis + log volume correction, then a logsumexp
+  over shells — all in VMEM, no (N, 2k+1, 3) intermediate in HBM.
+
+The (N, 2k+1, 3) expansion the XLA path materializes is the dominant HBM
+traffic of the KL at scale; here it never leaves the chip.
+"""
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _density_kernel(v_ref, sigma_ref, shells_ref, out_ref, *, clamp):
+    # Transposed layout: samples live on the 128-lane axis, the small
+    # algebra (3) / shell (2k+1) axes on sublanes — no lane padding waste.
+    v = v_ref[:]                                     # (3, TN)
+    sigma = sigma_ref[:]                             # (3, TN)
+    shells = shells_ref[:]                           # (2k+1, 1)
+
+    theta = jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True))    # (1, TN)
+    u = v / jnp.maximum(theta, 1e-12)                          # (3, TN)
+    theta_hat = shells + theta                                 # (2k+1, TN)
+
+    # sum_k N(u_k * theta_hat; 0, sigma_k): factored quadratic form
+    #   sum_k (u_k theta_hat / sigma_k)^2 = theta_hat^2 * sum_k (u_k/sigma_k)^2
+    q = jnp.sum((u / sigma) ** 2, axis=0, keepdims=True)       # (1, TN)
+    log_norm = jnp.sum(jnp.log(sigma), axis=0, keepdims=True)  # (1, TN)
+    log_p = (-0.5 * q * theta_hat * theta_hat
+             - log_norm - 1.5 * math.log(2.0 * math.pi))       # (2k+1, TN)
+
+    th_sq = jnp.maximum(theta_hat * theta_hat, clamp)
+    denom = jnp.maximum(2.0 - 2.0 * jnp.cos(theta_hat), clamp)
+    log_vol = jnp.log(th_sq) - jnp.log(denom)
+
+    y = log_p + log_vol
+    m = jnp.max(y, axis=0, keepdims=True)                      # (1, TN)
+    out_ref[:] = m + jnp.log(jnp.sum(jnp.exp(y - m), axis=0,
+                                     keepdims=True))
+
+
+def so3_wrapped_log_density_pallas(v, sigma, k=10, clamp=1e-3,
+                                   block_n=8192, interpret=None):
+    """Fused wrapped log-density. v: (n, B, 3), sigma: (B, 3) -> (n, B).
+
+    Same value as distributions.so3.so3_wrapped_log_density (uses the
+    factored quadratic form, exact for diagonal sigma).
+    """
+    v = jnp.asarray(v, jnp.float32)
+    n, b = v.shape[0], v.shape[1]
+    sigma = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32)[None],
+                             (n, b, 3)).reshape(-1, 3)
+    vf = v.reshape(-1, 3)
+    N = vf.shape[0]
+    block_n = min(block_n, max(128, 1 << (N - 1).bit_length()))
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    shells = (2.0 * math.pi
+              * np.arange(-k, k + 1, dtype=np.float32))[:, None]
+
+    pad = (-N) % block_n
+    vt = jnp.pad(vf, ((0, pad), (0, 0))).T                    # (3, Np)
+    st = jnp.pad(sigma, ((0, pad), (0, 0)),
+                 constant_values=1.0).T                        # (3, Np)
+    Np = N + pad
+
+    out = pl.pallas_call(
+        functools.partial(_density_kernel, clamp=clamp),
+        out_shape=jax.ShapeDtypeStruct((1, Np), jnp.float32),
+        grid=(Np // block_n,),
+        in_specs=[
+            pl.BlockSpec((3, block_n), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, block_n), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * k + 1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_n), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(vt, st, jnp.asarray(shells))
+    return out[0, :N].reshape(n, b)

@@ -192,13 +192,16 @@ def wigner_d_matrix(angles, degree, dtype=None):
     return W.reshape(batch_shape + (dim, dim))
 
 
-def block_wigner_matrix_multiply(angles, spectrum, max_degree, transpose=False):
+def block_wigner_matrix_multiply(angles, spectrum, max_degree,
+                                 transpose=False, impl="xla"):
     """Rotate a direct-sum spectrum by the group element given as ZYZ angles.
 
     Input:
       - angles   (B, 3) ZYZ Euler angles
       - spectrum (B, S, C) or (S, C) Fourier modes, S = (max_degree+1)^2
       - transpose: apply the transposed representation matrices
+      - impl: 'xla' (differentiable, default) | 'pallas' (fused VMEM
+        kernel, forward-only) | 'auto' (pallas for large B on TPU)
 
     Output: (B, S, C).
 
@@ -206,6 +209,17 @@ def block_wigner_matrix_multiply(angles, spectrum, max_degree, transpose=False):
     (a Python loop of per-degree bmm's). Here: one fused W build + one
     batched matmul over the whole spectrum.
     """
+    if impl != "xla":
+        import jax
+        b = angles.reshape((-1, 3)).shape[0]
+        on_tpu = jax.default_backend() == "tpu"
+        if impl == "pallas" or (impl == "auto" and on_tpu and b >= 512
+                                and max_degree <= 10):
+            from lie_vae_tpu.ops.kernels import (
+                block_wigner_matrix_multiply_pallas)
+            return block_wigner_matrix_multiply_pallas(
+                angles, spectrum, max_degree, transpose=transpose,
+                block_b=32)
     W = block_wigner_matrix(angles, max_degree, dtype=spectrum.dtype)
     if transpose:
         W = jnp.swapaxes(W, -1, -2)

@@ -282,7 +282,8 @@ class UnsupervisedExperiment:
 
         group = []
         for it, batch in enumerate(self.train_loader):
-            x = self.train_dataset.prep_batch(batch)[-1]
+            # NB: BatchLoader already applied the dataset's prep_batch
+            x = batch[-1]
             global_it = epoch * num_batches + it + 1
             group.append((global_it, np.asarray(x)))
             if len(group) == K or it + 1 == num_batches:
@@ -360,7 +361,7 @@ class UnsupervisedExperiment:
         for i, batch in enumerate(loader):
             if max_items is not None and i >= max_items:
                 break
-            x = self._put(dataset.prep_batch(batch)[-1])
+            x = self._put(batch[-1])   # loader already prepped
             vals.append(ll_fn(self.state.params, self.state.batch_stats, x,
                               jax.random.fold_in(rng, i)))
         return float(np.mean([float(v) for v in vals]))
