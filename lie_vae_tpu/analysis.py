@@ -1,0 +1,106 @@
+"""Analysis tools: latent-space trajectories, the encoder-discontinuity
+metric, and PCA scatter — the programmatic equivalent of the reference's
+results notebook (toy_results.ipynb: 'circle'/'random_walk' trajectory
+generators and the ``discontinuities`` per-step encoding-jump metric,
+cells 3, 11-14).
+
+All functions are pure and framework-level; scripts/analyze_toy.py shows the
+full evaluation flow (train -> encode trajectories -> metrics -> figures).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lie_vae_tpu import ops
+
+
+def circle_trajectory(n, axis=(0.0, 0.0, 1.0), start=None):
+    """n rotations sweeping a full turn about ``axis``, starting at
+    ``start`` (identity by default). Returns (n, 3, 3).
+
+    Notebook equivalent: the 'circle' trajectory (toy_results.ipynb cell 3).
+    """
+    axis = np.asarray(axis, dtype=np.float32)
+    axis = axis / np.linalg.norm(axis)
+    angles = np.linspace(0.0, 2.0 * np.pi, n, endpoint=False,
+                         dtype=np.float32)
+    vs = angles[:, None] * axis[None, :]
+    g = ops.expmap(jnp.asarray(vs))
+    if start is not None:
+        g = jnp.asarray(start) @ g
+    return g
+
+
+def random_walk_trajectory(key, n, step=0.1, start=None):
+    """Random walk on SO(3): g_{t+1} = g_t exp(eps), eps ~ N(0, step^2).
+
+    Notebook equivalent: the 'random_walk' trajectory (cell 3).
+    """
+    eps = jax.random.normal(key, (n, 3)) * step
+    increments = ops.expmap(eps)
+
+    def body(g, inc):
+        g = g @ inc
+        return g, g
+
+    g0 = jnp.eye(3) if start is None else jnp.asarray(start)
+    _, traj = jax.lax.scan(body, g0, increments)
+    return traj
+
+
+def toy_inputs_for_trajectory(traj, harmonics, degrees):
+    """Render toy observations x = W(g) @ harmonics along a trajectory."""
+    angles = ops.group_matrix_to_eazyz(traj)
+    return ops.block_wigner_matrix_multiply(
+        angles, jnp.asarray(harmonics), degrees)
+
+
+def encode_dataset(model, variables, xs, batch_size=256):
+    """Deterministic encodings (first reparameterizer, mean path) for an
+    array of inputs; returns flattened (N, D) numpy."""
+    outs = []
+    for i in range(0, len(xs), batch_size):
+        stats = model.apply(variables, jnp.asarray(xs[i:i + batch_size]),
+                            n=1, train=False, method="encode",
+                            rngs={"sample": jax.random.PRNGKey(0)})
+        z = np.asarray(stats[0].z[0])
+        outs.append(z.reshape(z.shape[0], -1))
+    return np.concatenate(outs, 0)
+
+
+def discontinuity_score(encodings):
+    """Per-step squared encoding jumps along a trajectory: the notebook's
+    ``discontinuities`` metric (cells 3 + 14). Returns (jumps, summary dict).
+    """
+    e = np.asarray(encodings)
+    e = e.reshape(e.shape[0], -1)
+    jumps = np.sum((e[1:] - e[:-1]) ** 2, axis=-1)
+    return jumps, {
+        "mean": float(jumps.mean()),
+        "max": float(jumps.max()),
+        # a discontinuity shows up as a jump orders of magnitude above the
+        # median step; count >10x-median outliers
+        "num_outliers": int((jumps > 10.0 * np.median(jumps)).sum()),
+    }
+
+
+def pca(x, n_components=2):
+    """SVD-based PCA; returns (projections (N, k), components (k, D))."""
+    x = np.asarray(x, dtype=np.float64)
+    x = x - x.mean(0, keepdims=True)
+    u, s, vt = np.linalg.svd(x, full_matrices=False)
+    return (u[:, :n_components] * s[:n_components],
+            vt[:n_components])
+
+
+def reconstruction_error(model, variables, xs, batch_size=256):
+    """Mean per-example recon loss under the deterministic path."""
+    errs = []
+    for i in range(0, len(xs), batch_size):
+        x = jnp.asarray(xs[i:i + batch_size])
+        (x_recon, _) = model.apply(
+            variables, x, n=1, train=False,
+            rngs={"sample": jax.random.PRNGKey(0)})
+        r = model.recon_loss(x_recon, x)
+        errs.append(np.asarray(r).reshape(-1))
+    return float(np.mean(np.concatenate(errs)))

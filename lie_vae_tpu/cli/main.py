@@ -129,6 +129,9 @@ def main(argv=None):
         experiment.state = restore_state(
             os.path.join(args.save_dir, "checkpoint"), experiment.state)
 
+    if args.profile_dir:
+        experiment.profile(args.profile_dir)
+
     early_stop_counter = 0
     for epoch in range(args.continue_epoch, args.epochs):
         previous_best = experiment.best_value
@@ -220,6 +223,9 @@ def parse_args(argv=None):
                              "(params and Lie math stay float32)")
     parser.add_argument("--ll_samples", type=int, default=500)
     parser.add_argument("--ll_max_items", type=int, default=None)
+    parser.add_argument("--profile_dir", default=None,
+                        help="capture a jax.profiler device trace of a few "
+                             "training dispatches before the run")
 
     conf = {}
     pkg_config = os.path.join(os.path.dirname(__file__), "config")

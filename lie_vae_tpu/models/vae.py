@@ -164,8 +164,11 @@ class LieVAE(nn.Module):
         if z_content is not None:
             z_content = z_content.reshape((-1,) + z_content.shape[2:])
 
-        if self.decoder_mode == "action":
-            if self.latent_mode == "so3":
+        if self.decoder_mode in ("action", "proj"):
+            # 'proj' and 'so3f' are accepted here for parity with the
+            # reference's decode routing (vae.py:180-181) even though they
+            # are unbuildable config strings there too (dead modes).
+            if self.latent_mode in ("so3", "so3f"):
                 angles = ops.group_matrix_to_eazyz(z_pose)
             elif self.latent_mode in ("normal", "vmf"):
                 angles = ops.vector_to_eazyz(z_pose)

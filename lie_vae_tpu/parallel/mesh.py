@@ -20,6 +20,22 @@ from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(coordinator_address=None, num_processes=None,
+                           process_id=None):
+    """Multi-host initialization (jax.distributed).
+
+    Call once per host before creating the mesh when running on a multi-host
+    TPU slice; all hosts then see the global device set and per-host data
+    loading shards the batch (BatchLoader seeds are deterministic, so shard
+    by process_id). No-op arguments defer to TPU auto-configuration.
+    """
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs.update(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(n_data=None, n_model=1, devices=None):
     """Create a ('data', 'model') mesh. n_data defaults to all devices."""
     devices = list(devices if devices is not None else jax.devices())

@@ -345,6 +345,33 @@ class UnsupervisedExperiment:
               .format(epoch, it + 1, train_recon, train_kl,
                       test_recon, test_kl, dt))
 
+    # ----------------------------------------------------------- profiling
+
+    def profile(self, log_dir, n_calls=3):
+        """Capture a device trace of a few training dispatches
+        (view with TensorBoard / xprof). The reference's only profiling is
+        a wall-clock seconds-per-iteration print (unsupervised.py:151-155);
+        this gives per-op device timelines."""
+        batches = [b[-1] for _, b in zip(range(self.steps_per_call),
+                                         self.train_loader)]
+        xs = self._put(np.stack([np.asarray(b) for b in batches]),
+                       batch_axis=1)
+        k = len(batches)
+        betas = jnp.zeros((k,), jnp.float32) + float(self.beta_schedule(1))
+        zeros = jnp.zeros((k,), jnp.float32)
+        rngs = jnp.stack([jax.random.fold_in(self._rng, i)
+                          for i in range(k)])
+        # warmup/compile outside the trace
+        self.state, m = self._multi_step(self.state, xs, betas, zeros,
+                                         zeros, rngs)
+        _ = float(np.asarray(m["recon"])[-1])
+        with jax.profiler.trace(log_dir):
+            for _ in range(n_calls):
+                self.state, m = self._multi_step(self.state, xs, betas,
+                                                 zeros, zeros, rngs)
+            _ = float(np.asarray(m["recon"])[-1])   # drain
+        print(f"profiler trace written to {log_dir}")
+
     # ----------------------------------------------------- log-likelihood
 
     def log_likelihood(self, dataset, n=500, max_items=None):

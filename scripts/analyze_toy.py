@@ -1,0 +1,123 @@
+"""Toy-experiment analysis: train (or load) toy models and evaluate the
+paper's latent-space diagnostics — the scriptable equivalent of the
+reference's toy_results.ipynb.
+
+Outputs (to --out_dir): discontinuity metrics per config (JSON), PCA
+scatter figures of encodings along SO(3) trajectories, and recon errors.
+
+Usage:
+  python scripts/analyze_toy.py --epochs 200 --out_dir analysis_out
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+from lie_vae_tpu import analysis
+from lie_vae_tpu.data import ToyDataset, random_split
+from lie_vae_tpu.models import LieVAE
+from lie_vae_tpu.train import ConstantSchedule, UnsupervisedExperiment
+
+CONFIGS = {
+    "ae-action-s2s2": dict(latent_mode="so3", decoder_mode="action",
+                           mean_mode="s2s2", deterministic=True),
+    "ae-action-alg": dict(latent_mode="so3", decoder_mode="action",
+                          mean_mode="alg", deterministic=True),
+    "ae-action-q": dict(latent_mode="so3", decoder_mode="action",
+                        mean_mode="q", deterministic=True),
+    "ae-action-s2s1": dict(latent_mode="so3", decoder_mode="action",
+                           mean_mode="s2s1", deterministic=True),
+    "ae-mlp-normal": dict(latent_mode="normal", decoder_mode="mlp",
+                          normal_dims=3, deterministic=True),
+    "vae-action-s2s2": dict(latent_mode="so3", decoder_mode="action",
+                            mean_mode="s2s2", deterministic=False),
+}
+
+
+def run_config(name, cfg, ds, train, valid, args):
+    model = LieVAE(encode_mode="toy", deconv_mode="toy",
+                   degrees=args.degrees, rep_copies=args.rep_copies,
+                   fixed_item_rep=(ds.harmonics if args.fixed_spectrum
+                                   else None), **cfg)
+    exp = UnsupervisedExperiment(
+        model=model, train_dataset=train, test_dataset=valid,
+        beta_schedule=ConstantSchedule(0.0 if cfg.get("deterministic")
+                                       else 1.0),
+        batch_size=64, report_freq=10 ** 9, lr=1e-3, clip_grads=None,
+        steps_per_call=args.steps_per_call)
+    for epoch in range(args.epochs):
+        exp.train(epoch)
+
+    variables = {"params": exp.state.params}
+    if exp.state.batch_stats:
+        variables["batch_stats"] = exp.state.batch_stats
+
+    results = {"test_recon": float(exp.test()[0])}
+    for traj_name, traj in [
+        ("circle", analysis.circle_trajectory(200)),
+        ("random_walk", analysis.random_walk_trajectory(
+            jax.random.PRNGKey(7), 200, step=0.08)),
+    ]:
+        xs = analysis.toy_inputs_for_trajectory(
+            traj, ds.harmonics, args.degrees)
+        enc = analysis.encode_dataset(model, variables, np.asarray(xs))
+        jumps, summary = analysis.discontinuity_score(enc)
+        results[f"discontinuity_{traj_name}"] = summary
+
+        proj, _ = analysis.pca(enc)
+        _plot(proj, os.path.join(args.out_dir,
+                                 f"{name}_{traj_name}_pca.png"),
+              f"{name} — {traj_name}")
+    return results
+
+
+def _plot(proj, path, title):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig, ax = plt.subplots(figsize=(4, 4))
+    ax.scatter(proj[:, 0], proj[:, 1], c=np.arange(len(proj)),
+               cmap="viridis", s=8)
+    ax.set_title(title)
+    fig.tight_layout()
+    fig.savefig(path, dpi=100)
+    plt.close(fig)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(__doc__)
+    p.add_argument("--epochs", type=int, default=200)
+    p.add_argument("--degrees", type=int, default=3)
+    p.add_argument("--rep_copies", type=int, default=4)
+    p.add_argument("--n_data", type=int, default=1024)
+    p.add_argument("--fixed_spectrum", action="store_true", default=True)
+    p.add_argument("--steps_per_call", type=int, default=8)
+    p.add_argument("--out_dir", default="analysis_out")
+    p.add_argument("--configs", nargs="*", default=list(CONFIGS))
+    args = p.parse_args(argv)
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    ds = ToyDataset.generate(n=args.n_data, degrees=args.degrees,
+                             rep_copies=args.rep_copies)
+    nv = args.n_data // 8
+    valid, _, train = random_split(ds, [nv, nv, args.n_data - 2 * nv])
+
+    all_results = {}
+    for name in args.configs:
+        print(f"== {name}")
+        all_results[name] = run_config(name, CONFIGS[name], ds, train,
+                                       valid, args)
+        print(json.dumps(all_results[name], indent=2))
+
+    with open(os.path.join(args.out_dir, "results.json"), "w") as f:
+        json.dump(all_results, f, indent=2)
+    print(f"Wrote {args.out_dir}/results.json")
+
+
+if __name__ == "__main__":
+    main()
