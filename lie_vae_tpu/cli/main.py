@@ -70,6 +70,7 @@ def build_model(args, dataset, item_rep):
         mlp_activation=args.mlp_activation,
         fixed_sigma=args.fixed_sigma,
         compute_dtype=args.compute_dtype,
+        kernel_impl=args.kernel_impl,
     )
 
 
@@ -221,6 +222,10 @@ def parse_args(argv=None):
     parser.add_argument("--compute_dtype", default=None,
                         help="conv/MLP compute dtype, e.g. bfloat16 "
                              "(params and Lie math stay float32)")
+    parser.add_argument("--kernel_impl", default="xla",
+                        help="[xla, pallas, auto] impl of the fused "
+                             "Lie-group ops (Pallas kernels have custom-VJP "
+                             "backwards, safe for training)")
     parser.add_argument("--ll_samples", type=int, default=500)
     parser.add_argument("--ll_max_items", type=int, default=None)
     parser.add_argument("--profile_dir", default=None,

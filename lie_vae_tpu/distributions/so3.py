@@ -36,6 +36,7 @@ class SO3Stats:
     inner: ZeroMeanGaussianStats
     z: jnp.ndarray
     k: int = struct.field(pytree_node=False, default=10)
+    density_impl: str = struct.field(pytree_node=False, default="xla")
 
     def kl(self):
         """MC estimate E_q[log q - log p], mean over the sample axis, (B,).
@@ -44,18 +45,20 @@ class SO3Stats:
         """
         return jnp.mean(self.log_posterior() - self.log_prior(), axis=0)
 
-    def log_posterior(self, impl="xla"):
+    def log_posterior(self, impl=None):
         """Wrapped pushforward log-density at the drawn samples, (n, B).
 
         Reference: SO3reparameterize.log_posterior,
         lie_vae/reparameterize.py:233-263 (same shell count, same 1e-3
         clamps on theta_hat^2 and 2-2cos(theta_hat)).
 
-        impl: 'xla' (differentiable, default), 'pallas' (fused TPU kernel,
-        forward-only), or 'auto' (pallas on TPU for large no-grad batches).
+        impl: 'xla' (default) | 'pallas' (fused TPU kernel with a
+        custom-VJP backward kernel — trainable) | 'auto' (pallas on TPU
+        for large batches).
         """
         return so3_wrapped_log_density(self.inner.z, self.inner.sigma,
-                                       self.k, impl=impl)
+                                       self.k,
+                                       impl=impl or self.density_impl)
 
     def log_prior(self):
         """Haar-uniform prior: constant -log(8 pi^2), (n, B).
@@ -74,9 +77,9 @@ def so3_wrapped_log_density(v, sigma, k=10, clamp=1e-3, impl="xla"):
     For each shell j in [-k, k]: evaluate the algebra Gaussian at
     u * (theta + 2 pi j) and add the log volume term, then logsumexp.
 
-    impl='pallas' uses the fused VMEM kernel (ops/kernels/so3_density.py) —
-    forward-only (no VJP yet), ~2x the XLA path at large N on TPU;
-    'auto' picks it for no-grad large batches on TPU.
+    impl='pallas' uses the fused VMEM kernel (ops/kernels/so3_density.py),
+    ~2x the XLA path at large N on TPU, with an analytic custom-VJP
+    backward kernel (trainable); 'auto' picks it for large batches on TPU.
     """
     if impl != "xla":
         n_total = v.shape[0] * v.shape[1]
@@ -106,7 +109,8 @@ def so3_wrapped_log_density(v, sigma, k=10, clamp=1e-3, impl="xla"):
     return jax.nn.logsumexp(log_p + log_vol, axis=-1)
 
 
-def sample_so3(key, mu_lie, sigma, n=1, k=10, deterministic=False):
+def sample_so3(key, mu_lie, sigma, n=1, k=10, deterministic=False,
+               density_impl="xla"):
     """Draw n group samples z = mu_lie @ exp(v); returns :class:`SO3Stats`.
 
     Reference: SO3reparameterize.forward/nsample,
@@ -120,4 +124,5 @@ def sample_so3(key, mu_lie, sigma, n=1, k=10, deterministic=False):
     else:
         v_lie = so3_ops.expmap(inner.z)                 # (n, B, 3, 3)
         z = mu_lie @ v_lie
-    return SO3Stats(mu_lie=mu_lie, inner=inner, z=z, k=k)
+    return SO3Stats(mu_lie=mu_lie, inner=inner, z=z, k=k,
+                    density_impl=density_impl)

@@ -31,6 +31,7 @@ class ActionDecoder(nn.Module):
     with_mlp: bool = False
     fixed_item_rep: Optional[Any] = None
     transpose: bool = False
+    wigner_impl: str = "xla"   # 'xla' | 'pallas' | 'auto' (fused kernel)
 
     @nn.compact
     def __call__(self, angles, content=None):
@@ -44,7 +45,7 @@ class ActionDecoder(nn.Module):
 
         item = ops.block_wigner_matrix_multiply(
             angles, item_rep.astype(angles.dtype), self.degrees,
-            transpose=self.transpose)
+            transpose=self.transpose, impl=self.wigner_impl)
         item = item.reshape(angles.shape[0], matrix_dims * self.rep_copies)
 
         if self.with_mlp:

@@ -135,6 +135,7 @@ class SO3Reparameterize(nn.Module):
     k: int = 10
     fixed_sigma: Optional[float] = None
     deterministic: bool = False
+    density_impl: str = "xla"   # 'xla' | 'pallas' | 'auto' (fused kernel)
 
     @nn.compact
     def __call__(self, h, n=1):
@@ -145,4 +146,5 @@ class SO3Reparameterize(nn.Module):
             sigma = nn.softplus(Dense(3, name="sigma")(h))
         key = self.make_rng("sample") if not self.deterministic else None
         return dist.sample_so3(key, mu_lie, sigma, n=n, k=self.k,
-                               deterministic=self.deterministic)
+                               deterministic=self.deterministic,
+                               density_impl=self.density_impl)

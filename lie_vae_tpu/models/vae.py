@@ -57,6 +57,10 @@ class LieVAE(nn.Module):
     # ('bfloat16' for the MXU fast path); params, Lie-group math, densities
     # and losses stay float32. None = full float32.
     compute_dtype: Optional[str] = None
+    # 'xla' | 'pallas' | 'auto': implementation of the fused Lie-group hot
+    # ops (block-Wigner apply + wrapped log-density); both impls are
+    # differentiable (the Pallas kernels carry custom-VJP backward kernels)
+    kernel_impl: str = "xla"
     # optional per-reparameterizer feature hook (the reference's r_callback,
     # vae.py:137, which is never assigned there — fixed here as opt-in)
     r_callback: Optional[Tuple[Callable, ...]] = None
@@ -102,7 +106,8 @@ class LieVAE(nn.Module):
         if self.latent_mode == "so3":
             self.rep_group = SO3Reparameterize(
                 mean_mode=self.mean_mode, k=10, fixed_sigma=self.fixed_sigma,
-                deterministic=self.deterministic)
+                deterministic=self.deterministic,
+                density_impl=self.kernel_impl)
         elif self.latent_mode == "normal":
             self.rep_group = NormalReparameterize(
                 self.normal_dims, deterministic=self.deterministic)
@@ -128,7 +133,8 @@ class LieVAE(nn.Module):
                 degrees=self.degrees, deconv=deconv,
                 rep_copies=self.rep_copies,
                 fixed_item_rep=self.fixed_item_rep,
-                transpose=self.wigner_transpose)
+                transpose=self.wigner_transpose,
+                wigner_impl=self.kernel_impl)
         elif self.decoder_mode == "mlp":
             self.decoder = MLPDecoder(
                 degrees=self.degrees, deconv=deconv,

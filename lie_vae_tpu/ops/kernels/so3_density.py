@@ -47,6 +47,100 @@ def _density_kernel(v_ref, sigma_ref, shells_ref, out_ref, *, clamp):
                                      keepdims=True))
 
 
+def _density_bwd_kernel(v_ref, sigma_ref, shells_ref, g_ref,
+                        dv_ref, ds_ref, *, clamp):
+    """Analytic backward. With w_j = softmax(y_j) over shells,
+    A = sum_j w_j dy_j/dtheta_hat_j, B = sum_j w_j theta_hat_j^2:
+
+      dv    = g [ A u - (B / theta) (u / sigma^2 - q u) ]
+      dsigma= g [ B u^2 / sigma^3 - 1 / sigma ]
+    """
+    v = v_ref[:]                                     # (3, TN)
+    sigma = sigma_ref[:]                             # (3, TN)
+    shells = shells_ref[:]                           # (2k+1, 1)
+    g = g_ref[:]                                     # (1, TN)
+
+    theta = jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True))
+    theta_s = jnp.maximum(theta, 1e-12)
+    u = v / theta_s
+    theta_hat = shells + theta                       # (2k+1, TN)
+    q = jnp.sum((u / sigma) ** 2, axis=0, keepdims=True)
+    log_norm = jnp.sum(jnp.log(sigma), axis=0, keepdims=True)
+
+    th_sq = theta_hat * theta_hat
+    cos_th = jnp.cos(theta_hat)
+    denom = 2.0 - 2.0 * cos_th
+    y = (-0.5 * q * th_sq - log_norm - 1.5 * math.log(2.0 * math.pi)
+         + jnp.log(jnp.maximum(th_sq, clamp))
+         - jnp.log(jnp.maximum(denom, clamp)))
+    m = jnp.max(y, axis=0, keepdims=True)
+    e = jnp.exp(y - m)
+    w = e / jnp.sum(e, axis=0, keepdims=True)        # (2k+1, TN)
+
+    # dy_j / dtheta_hat_j, with the clamp kill-switches
+    dy_dth = (-q * theta_hat
+              + jnp.where(th_sq > clamp, 2.0 / theta_hat, 0.0)
+              - jnp.where(denom > clamp,
+                          2.0 * jnp.sin(theta_hat)
+                          / jnp.maximum(denom, clamp), 0.0))
+    A = jnp.sum(w * dy_dth, axis=0, keepdims=True)   # (1, TN)
+    B = jnp.sum(w * th_sq, axis=0, keepdims=True)    # (1, TN)
+
+    sig2 = sigma * sigma
+    dv_ref[:] = g * (A * u - (B / theta_s) * (u / sig2 - q * u))
+    ds_ref[:] = g * (B * (u * u) / (sig2 * sigma) - 1.0 / sigma)
+
+
+@functools.lru_cache(maxsize=16)
+def _make_density_op(k, clamp, block_n, interpret):
+    shells = (2.0 * math.pi
+              * np.arange(-k, k + 1, dtype=np.float32))[:, None]
+    shells_j = jnp.asarray(shells)
+    n_shells = 2 * k + 1
+
+    def specs(i_rows):
+        return pl.BlockSpec((i_rows, block_n), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    shell_spec = pl.BlockSpec((n_shells, 1), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)
+
+    def forward(vt, st):
+        Np = vt.shape[1]
+        return pl.pallas_call(
+            functools.partial(_density_kernel, clamp=clamp),
+            out_shape=jax.ShapeDtypeStruct((1, Np), jnp.float32),
+            grid=(Np // block_n,),
+            in_specs=[specs(3), specs(3), shell_spec],
+            out_specs=specs(1),
+            interpret=interpret,
+        )(vt, st, shells_j)
+
+    @jax.custom_vjp
+    def op(vt, st):
+        return forward(vt, st)
+
+    def op_fwd(vt, st):
+        return forward(vt, st), (vt, st)
+
+    def op_bwd(res, g):
+        vt, st = res
+        Np = vt.shape[1]
+        dv, ds = pl.pallas_call(
+            functools.partial(_density_bwd_kernel, clamp=clamp),
+            out_shape=(jax.ShapeDtypeStruct((3, Np), jnp.float32),
+                       jax.ShapeDtypeStruct((3, Np), jnp.float32)),
+            grid=(Np // block_n,),
+            in_specs=[specs(3), specs(3), shell_spec, specs(1)],
+            out_specs=(specs(3), specs(3)),
+            interpret=interpret,
+        )(vt, st, shells_j, g)
+        return dv, ds
+
+    op.defvjp(op_fwd, op_bwd)
+    return op
+
+
 def so3_wrapped_log_density_pallas(v, sigma, k=10, clamp=1e-3,
                                    block_n=8192, interpret=None):
     """Fused wrapped log-density. v: (n, B, 3), sigma: (B, 3) -> (n, B).
@@ -65,29 +159,11 @@ def so3_wrapped_log_density_pallas(v, sigma, k=10, clamp=1e-3,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    shells = (2.0 * math.pi
-              * np.arange(-k, k + 1, dtype=np.float32))[:, None]
-
     pad = (-N) % block_n
     vt = jnp.pad(vf, ((0, pad), (0, 0))).T                    # (3, Np)
     st = jnp.pad(sigma, ((0, pad), (0, 0)),
                  constant_values=1.0).T                        # (3, Np)
-    Np = N + pad
 
-    out = pl.pallas_call(
-        functools.partial(_density_kernel, clamp=clamp),
-        out_shape=jax.ShapeDtypeStruct((1, Np), jnp.float32),
-        grid=(Np // block_n,),
-        in_specs=[
-            pl.BlockSpec((3, block_n), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, block_n), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * k + 1, 1), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, block_n), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(vt, st, jnp.asarray(shells))
+    op = _make_density_op(k, clamp, block_n, interpret)
+    out = op(vt, st)
     return out[0, :N].reshape(n, b)

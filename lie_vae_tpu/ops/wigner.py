@@ -200,8 +200,9 @@ def block_wigner_matrix_multiply(angles, spectrum, max_degree,
       - angles   (B, 3) ZYZ Euler angles
       - spectrum (B, S, C) or (S, C) Fourier modes, S = (max_degree+1)^2
       - transpose: apply the transposed representation matrices
-      - impl: 'xla' (differentiable, default) | 'pallas' (fused VMEM
-        kernel, forward-only) | 'auto' (pallas for large B on TPU)
+      - impl: 'xla' (default) | 'pallas' (fused VMEM kernel with a
+        custom-VJP backward kernel — trainable) | 'auto' (pallas for
+        large B on TPU)
 
     Output: (B, S, C).
 

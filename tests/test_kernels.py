@@ -59,6 +59,101 @@ def test_density_kernel_matches_xla(key, n, B):
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("transpose", [False, True])
+def test_wigner_kernel_grads_match_xla(key, transpose):
+    """Custom-VJP (Pallas backward kernel) vs XLA autodiff."""
+    B, L, C = 12, 4, 3
+    k1, k2, k3 = jax.random.split(key, 3)
+    r = ops.random_group_matrices(k1, B, dtype=jnp.float64)
+    angles = ops.group_matrix_to_eazyz(r).astype(jnp.float32)
+    spec = jax.random.normal(k2, (B, 25, C), dtype=jnp.float32)
+    w = jax.random.normal(k3, (B, 25, C), dtype=jnp.float32)
+
+    def f_xla(a, s):
+        return jnp.sum(ops.block_wigner_matrix_multiply(
+            a, s, L, transpose=transpose) * w)
+
+    def f_pl(a, s):
+        return jnp.sum(block_wigner_matrix_multiply_pallas(
+            a, s, L, transpose=transpose, interpret=True) * w)
+
+    ga_x, gs_x = jax.grad(f_xla, argnums=(0, 1))(angles, spec)
+    ga_p, gs_p = jax.grad(f_pl, argnums=(0, 1))(angles, spec)
+    np.testing.assert_allclose(ga_p, ga_x, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(gs_p, gs_x, rtol=1e-5, atol=1e-5)
+
+
+def test_wigner_kernel_grad_shared_spectrum(key):
+    """Broadcast spectrum: gradient must sum over the batch axis."""
+    B, L, C = 9, 3, 2
+    k1, k2 = jax.random.split(key)
+    r = ops.random_group_matrices(k1, B, dtype=jnp.float64)
+    angles = ops.group_matrix_to_eazyz(r).astype(jnp.float32)
+    spec = jax.random.normal(k2, (16, C), dtype=jnp.float32)
+
+    def f_xla(s):
+        return jnp.sum(ops.block_wigner_matrix_multiply(angles, s, L) ** 2)
+
+    def f_pl(s):
+        return jnp.sum(block_wigner_matrix_multiply_pallas(
+            angles, s, L, interpret=True) ** 2)
+
+    gs_x = jax.grad(f_xla)(spec)
+    gs_p = jax.grad(f_pl)(spec)
+    np.testing.assert_allclose(gs_p, gs_x, rtol=1e-4, atol=1e-4)
+
+
+def test_density_kernel_grads_match_xla(key):
+    """Analytic Pallas backward vs XLA autodiff of the wrapped density."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    v = jax.random.normal(k1, (2, 40, 3), dtype=jnp.float32)
+    sigma = jax.nn.softplus(
+        jax.random.normal(k2, (40, 3), dtype=jnp.float32)) + 0.05
+    w = jax.random.normal(k3, (2, 40), dtype=jnp.float32)
+
+    def f_xla(v, s):
+        return jnp.sum(so3_wrapped_log_density(v, s, 10) * w)
+
+    def f_pl(v, s):
+        return jnp.sum(so3_wrapped_log_density_pallas(
+            v, s, 10, interpret=True) * w)
+
+    (gv_x, gs_x) = jax.grad(f_xla, argnums=(0, 1))(v, sigma)
+    (gv_p, gs_p) = jax.grad(f_pl, argnums=(0, 1))(v, sigma)
+    np.testing.assert_allclose(gv_p, gv_x, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(gs_p, gs_x, rtol=1e-3, atol=1e-3)
+
+
+def test_training_with_pallas_kernels(key):
+    """Full toy training step with kernel_impl='pallas' (interpret mode)
+    produces the same loss/params trajectory as the XLA impl."""
+    from lie_vae_tpu.data import ToyDataset
+    from lie_vae_tpu.models import LieVAE
+    from lie_vae_tpu.train import ConstantSchedule, UnsupervisedExperiment
+
+    ds = ToyDataset.generate(n=96, degrees=2, rep_copies=3)
+
+    def run(impl):
+        model = LieVAE(latent_mode="so3", decoder_mode="action",
+                       encode_mode="toy", deconv_mode="toy",
+                       mean_mode="s2s2", degrees=2, rep_copies=3,
+                       kernel_impl=impl)
+        exp = UnsupervisedExperiment(
+            model=model, train_dataset=ds, test_dataset=ds,
+            beta_schedule=ConstantSchedule(1.0), batch_size=32,
+            report_freq=10 ** 9, lr=1e-3, clip_grads=None, seed=0)
+        exp.train(0)
+        return exp.state.params, exp.test()
+
+    p_xla, t_xla = run("xla")
+    p_pl, t_pl = run("pallas")
+    np.testing.assert_allclose(t_pl, t_xla, rtol=1e-4, atol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(p_xla),
+                    jax.tree_util.tree_leaves(p_pl)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_density_kernel_padding_safe(key):
     # N not divisible by block_n; padded rows must not produce NaNs
     v = jax.random.normal(key, (1, 7, 3), dtype=jnp.float32)
