@@ -48,13 +48,21 @@ def _load_image(path, rgb):
 
 
 class ShapeDataset:
-    """Reference: ShapeDataset, datasets.py:15-84."""
+    """Reference: ShapeDataset, datasets.py:15-84.
+
+    ``cache=True`` (default) decodes each image once into a shared uint8
+    array (~12 KB per 64x64 RGB image) instead of re-decoding PNGs every
+    epoch through loader workers like the reference — image epochs become
+    memory-bandwidth-bound after the first pass.
+    """
     num_workers = 5
     rgb = False
     single_id = False
 
-    def __init__(self, directory, subsample=1.0):
+    def __init__(self, directory, subsample=1.0, cache=True):
         self.directory = directory
+        self._cache_enabled = cache
+        self._cache = {}
         index_path = os.path.join(directory, "files.txt")
         if os.path.exists(index_path):
             with open(index_path) as f:
@@ -79,8 +87,21 @@ class ShapeDataset:
     def __len__(self):
         return len(self.files)
 
+    def _item_by_file_index(self, idx):
+        idx = int(idx)
+        if self._cache_enabled:
+            hit = self._cache.get(idx)
+            if hit is not None:
+                name, group_el, img_u8 = hit
+                return name, group_el, img_u8.astype(np.float32) / 255.0
+        name, group_el, image = self.load_file(self.files[idx], self.root)
+        if self._cache_enabled:
+            self._cache[idx] = (name, group_el,
+                                np.round(image * 255.0).astype(np.uint8))
+        return name, group_el, image
+
     def __getitem__(self, idx):
-        return self.load_file(self.files[idx], self.root)
+        return self._item_by_file_index(idx)
 
     @classmethod
     def load_file(cls, filename, root):
@@ -92,10 +113,24 @@ class ShapeDataset:
         return name, group_el, image
 
     def gather(self, indices):
-        names, gs, imgs = zip(*[self[i] for i in indices])
+        """Batch fetch. Images are returned as uint8 — 4x less host->device
+        traffic; the training step normalizes to float on device (a real
+        win when host->chip bandwidth is the bottleneck)."""
+        names, gs, imgs = zip(*[self._gather_one(i) for i in indices])
         return (np.asarray(names, dtype=object if not self.single_id
                            else np.int32),
                 np.stack(gs, 0), np.stack(imgs, 0))
+
+    def _gather_one(self, idx):
+        idx = int(idx)
+        if self._cache_enabled:
+            hit = self._cache.get(idx)
+            if hit is None:
+                self._item_by_file_index(idx)   # fills the cache
+                hit = self._cache[idx]
+            return hit
+        name, g, img = self.load_file(self.files[idx], self.root)
+        return name, g, np.round(img * 255.0).astype(np.uint8)
 
     @staticmethod
     def prep_batch(batch):
@@ -133,16 +168,22 @@ class ScPairsDataset(ShapeDataset):
 
     def __getitem__(self, idx):
         idx = self.indices[idx]
-        filenames = self.files[2 * idx:2 * idx + 2]
-        assert len(filenames) == 2, "File not found"
-        names, gs, imgs = zip(*[self.load_file(f, self.root)
-                                for f in filenames])
+        assert 2 * idx + 1 < len(self.files), "File not found"
+        names, gs, imgs = zip(*[self._item_by_file_index(j)
+                                for j in (2 * idx, 2 * idx + 1)])
         return (np.asarray(names, dtype=np.int32),
                 np.stack(gs, 0), np.stack(imgs, 0))
 
     def gather(self, indices):
-        names, gs, imgs = zip(*[self[i] for i in indices])
+        names, gs, imgs = zip(*[self._gather_pair(i) for i in indices])
         return np.stack(names, 0), np.stack(gs, 0), np.stack(imgs, 0)
+
+    def _gather_pair(self, idx):
+        idx = self.indices[idx]
+        names, gs, imgs = zip(*[self._gather_one(j)
+                                for j in (2 * idx, 2 * idx + 1)])
+        return (np.asarray(names, dtype=np.int32), np.stack(gs, 0),
+                np.stack(imgs, 0))
 
     @staticmethod
     def prep_batch(batch):

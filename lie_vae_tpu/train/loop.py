@@ -72,7 +72,7 @@ class UnsupervisedExperiment:
         # ---- init params from one example batch
         example = train_dataset.prep_batch(
             train_dataset.gather(np.arange(min(2, len(train_dataset)))))
-        x_example = jnp.asarray(example[-1])
+        x_example = self._normalize(jnp.asarray(example[-1]))
         if init_state is not None:
             self.state = init_state
         else:
@@ -104,6 +104,14 @@ class UnsupervisedExperiment:
 
     # ------------------------------------------------------------- steps
 
+    @staticmethod
+    def _normalize(x):
+        # image datasets ship uint8 batches (4x less host->device traffic);
+        # normalize on device
+        if x.dtype == jnp.uint8:
+            return x.astype(jnp.float32) / 255.0
+        return x
+
     def _variables(self, params, batch_stats):
         v = {"params": params}
         if self._has_bn:
@@ -119,6 +127,7 @@ class UnsupervisedExperiment:
         has_bn = self._has_bn
 
         def step(state, x, beta, lamb_eq, lamb_cont, rng):
+            x = self._normalize(x)
             k_sample, k_eq, k_eq_enc = jax.random.split(rng, 3)
 
             def loss_fn(params):
@@ -200,6 +209,7 @@ class UnsupervisedExperiment:
         n = self.elbo_samples
 
         def step(params, batch_stats, x, rng):
+            x = self._normalize(x)
             variables = self._variables(params, batch_stats)
             recon, kl_sum, kls, _ = model.apply(
                 variables, x, n=n, train=False, method="elbo",
@@ -231,8 +241,10 @@ class UnsupervisedExperiment:
             r, k, ks = self._eval_step(self.state.params,
                                        self.state.batch_stats, x,
                                        jax.random.fold_in(rng, i))
-            results.append((r, k, *ks))
-        return np.mean([[float(v) for v in row] for row in results], axis=0)
+            results.append(jnp.stack((r, k, *ks)))   # async device scalars
+        # one device->host transfer for the whole pass (each float() of a
+        # device scalar would cost a full round-trip through the runtime)
+        return np.mean(np.asarray(jnp.stack(results)), axis=0)
 
     # -------------------------------------------------------------- train
 
@@ -292,11 +304,11 @@ class UnsupervisedExperiment:
 
     @staticmethod
     def _window_mean(window, name):
-        vals = []
-        for metrics, count in window:
-            arr = np.asarray(metrics[name], dtype=np.float64).reshape(-1)
-            vals.append(arr[:count])
-        return float(np.mean(np.concatenate(vals)))
+        # concatenate on device, transfer once (device->host scalar reads
+        # each cost a full runtime round-trip)
+        vals = [jnp.reshape(metrics[name], (-1,))[:count]
+                for metrics, count in window]
+        return float(np.asarray(jnp.mean(jnp.concatenate(vals))))
 
     def _report(self, window, epoch, it, global_it, beta, lamb_eq,
                 lamb_cont, start, n_steps=None):
@@ -380,8 +392,8 @@ class UnsupervisedExperiment:
         Reference: main.py:134-143 (n=500, batch 1, eval mode).
         """
         ll_fn = jax.jit(lambda params, bs, x, rng: self.model.apply(
-            self._variables(params, bs), x, n=n, method="log_likelihood",
-            rngs={"sample": rng}))
+            self._variables(params, bs), self._normalize(x), n=n,
+            method="log_likelihood", rngs={"sample": rng}))
         loader = BatchLoader(dataset, 1, shuffle=True, drop_last=False)
         vals = []
         rng = jax.random.PRNGKey(0)

@@ -54,6 +54,21 @@ def main():
         print(f"B={B:6d}: xla {t_xla:7.3f} ms | pallas(b8) {t_pl:7.3f} ms "
               f"| pallas(b32) {t_pl32:7.3f} ms")
 
+    print("== block Wigner apply, serving scale (L=10, S=121, C=16) ==")
+    for B in (1024, 4096):
+        k1, k2 = jax.random.split(jax.random.fold_in(key, 1000 + B))
+        angles = ops.group_matrix_to_eazyz(
+            ops.random_group_matrices(k1, B)).astype(jnp.float32)
+        spec = jax.random.normal(k2, (B, 121, 16), dtype=jnp.float32)
+        t_xla = timeit(
+            lambda a, s: ops.block_wigner_matrix_multiply(a, s, 10),
+            angles, spec, n=20)
+        t_pl = timeit(
+            lambda a, s: block_wigner_matrix_multiply_pallas(
+                a, s, 10, block_b=16, interpret=False),
+            angles, spec, n=20)
+        print(f"B={B:6d}: xla {t_xla:7.3f} ms | pallas(b16) {t_pl:7.3f} ms")
+
     print("== wrapped log-density (k=10) ==")
     for N in (4096, 65536, 524288):
         k1, k2 = jax.random.split(jax.random.fold_in(key, N))

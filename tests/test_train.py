@@ -186,6 +186,30 @@ def test_steps_per_call_with_ragged_tail(tmp_path):
     assert np.isfinite(exp.test()).all()
 
 
+def test_checkpoint_roundtrip(tmp_path):
+    """orbax save/restore preserves params, batch_stats, opt state, step."""
+    from lie_vae_tpu.train.checkpoint import restore_state, save_state
+
+    exp = _toy_experiment(deterministic=False, beta=1.0)
+    exp.train(0)
+    path = str(tmp_path / "ckpt")
+    save_state(path, exp.state)
+
+    exp2 = _toy_experiment(deterministic=False, beta=1.0)
+    restored = restore_state(path, exp2.state)
+    assert int(restored.step) == int(exp.state.step)
+    for a, b in zip(jax.tree_util.tree_leaves(exp.state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(exp.state.opt_state),
+                    jax.tree_util.tree_leaves(restored.opt_state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # restored state trains on
+    exp2.state = restored
+    exp2.train(1)
+    assert np.isfinite(exp2.test()).all()
+
+
 def test_best_value_tracked(tmp_path):
     exp = _toy_experiment(deterministic=True, beta=0.0,
                           log=str(tmp_path / "logs"))
