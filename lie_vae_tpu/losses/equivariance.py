@@ -45,15 +45,20 @@ def rotate_images(img, theta):
     return jax.vmap(sample_one)(img, py, px)
 
 
-def equivariance_loss(encode_fn, img, encoding, key):
+def equivariance_loss(encode_fn, img, encoding, key, num_samples=None):
     """Returns (mean squared diff, per-example diffs).
 
     encode_fn: img -> (B, 3, 3) group-element encodings (the first
     reparameterizer's first sample, as in unsupervised.py:100-102).
     encoding: precomputed encode_fn(img) from the main forward pass.
+    num_samples: optionally evaluate on only the first num_samples
+    examples (reference: equivariance_loss.py:24-25).
     Reference: equivariance_loss.py:22-48.
     """
     assert encoding.shape[-2:] == (3, 3), "Rotation matrix input required"
+    if num_samples:
+        img = img[:num_samples]
+        encoding = encoding[:num_samples]
     n = img.shape[0]
     theta = jax.random.uniform(key, (n,), dtype=img.dtype) * 2.0 * math.pi
     v = jnp.broadcast_to(

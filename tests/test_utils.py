@@ -1,0 +1,34 @@
+"""Utility parity tests (reference: lie_vae/utils.py, experiments/utils.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.special as sps
+
+from lie_vae_tpu.utils import cycle, expand_dim, logsumexp
+
+
+def test_logsumexp(key):
+    x = jax.random.normal(key, (5, 7), dtype=jnp.float64) * 10
+    np.testing.assert_allclose(logsumexp(x, axis=1),
+                               sps.logsumexp(np.asarray(x), axis=1),
+                               rtol=1e-12)
+    np.testing.assert_allclose(logsumexp(x),
+                               sps.logsumexp(np.asarray(x)), rtol=1e-12)
+    np.testing.assert_allclose(
+        logsumexp(x, axis=0, keepdims=True),
+        sps.logsumexp(np.asarray(x), axis=0, keepdims=True), rtol=1e-12)
+
+
+def test_expand_dim():
+    x = jnp.arange(6.0).reshape(2, 3)
+    y = expand_dim(x, 4, axis=0)
+    assert y.shape == (4, 2, 3)
+    np.testing.assert_allclose(y[2], x)
+    y = expand_dim(x, 5, axis=1)
+    assert y.shape == (2, 5, 3)
+    np.testing.assert_allclose(y[:, 3], x)
+
+
+def test_cycle():
+    it = cycle([1, 2, 3])
+    assert [next(it) for _ in range(7)] == [1, 2, 3, 1, 2, 3, 1]
