@@ -77,13 +77,13 @@ def _render_blender(r, names, out_dir, size):
     import json
     import tempfile
 
-    from lie_vae_tpu import ops
-
-    q = np.asarray(ops.group_matrix_to_quaternions(r.reshape(-1, 3, 3)))
+    # ship rotation MATRICES (convention-unambiguous) — this repo's
+    # quaternion layout (lie_tools.py:183-192) is not Blender's (w,x,y,z)
     flat_names = [n for row in names for n in row]
     with tempfile.NamedTemporaryFile("w", suffix=".json",
                                      delete=False) as f:
-        json.dump({"quaternions": q.tolist(), "names": flat_names,
+        json.dump({"matrices": r.reshape(-1, 3, 3).tolist(),
+                   "names": flat_names,
                    "out_dir": os.path.abspath(out_dir), "size": size}, f)
         spec = f.name
     script = os.path.join(os.path.dirname(os.path.dirname(

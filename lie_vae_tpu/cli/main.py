@@ -40,6 +40,13 @@ def build_dataset(args):
                 n=1000, degrees=args.degrees,
                 rep_copies=args.rep_copies).save(args.toy_path)
         dataset = ToyDataset(path=args.toy_path)
+        expected = ((args.degrees + 1) ** 2, args.rep_copies)
+        if dataset.harmonics.shape != expected:
+            raise ValueError(
+                f"{args.toy_path} was generated with spectrum shape "
+                f"{dataset.harmonics.shape}, but --degrees/--rep_copies "
+                f"request {expected}; regenerate it or pass a different "
+                f"--toy_path")
         if args.fixed_spectrum:
             item_rep = dataset.harmonics
     else:

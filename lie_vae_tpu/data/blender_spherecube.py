@@ -12,7 +12,9 @@ dataset loaders parse, lie_vae_tpu/data/shapes.py).
 Invoke through the CLI:
   python -m lie_vae_tpu.cli.gen_spherecube NUM DIR --blender
 which passes a JSON spec file after '--':
-  {"quaternions": [[w?..] ...], "names": [...], "out_dir": ..., "size": 64}
+  {"matrices": [[[...3x3...]] ...], "names": [...], "out_dir": ..., "size": 64}
+(rotation matrices, row-major world-from-object — convention-unambiguous,
+unlike quaternion component orderings)
 
 NOTE: untested in this repository's CI (no Blender binary in the image);
 the numpy ray-caster (data/render.py) is the tested default backend.
@@ -63,7 +65,6 @@ def build_scene(size):
     track.target = cube
     track.track_axis = "TRACK_NEGATIVE_Z"
     track.up_axis = "UP_Y"
-    cube.rotation_mode = "QUATERNION"
     return cube
 
 
@@ -72,11 +73,13 @@ def main():
     with open(argv[0]) as f:
         spec = json.load(f)
 
+    from mathutils import Matrix
+
     cube = build_scene(spec.get("size", 64))
     out_dir = spec["out_dir"]
     os.makedirs(out_dir, exist_ok=True)
-    for q, name in zip(spec["quaternions"], spec["names"]):
-        cube.rotation_quaternion = q
+    for m, name in zip(spec["matrices"], spec["names"]):
+        cube.matrix_world = Matrix(m).to_4x4()
         bpy.context.scene.render.filepath = os.path.join(out_dir, name)
         bpy.ops.render.render(write_still=True)
 

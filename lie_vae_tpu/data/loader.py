@@ -61,21 +61,35 @@ class BatchLoader:
                 yield self.prep(gather(idx))
             return
 
-        # bounded-lookahead threaded prefetch
-        q = Queue(maxsize=self.prefetch)
+        # bounded-lookahead threaded prefetch: a semaphore caps the number
+        # of batches in flight (pool.map would eagerly gather the whole
+        # epoch regardless of the queue bound)
+        q = Queue()
         sentinel = object()
+        window = threading.Semaphore(self.prefetch + self.num_threads)
+        stop = threading.Event()
 
         def produce():
             with ThreadPoolExecutor(self.num_threads) as pool:
-                for out in pool.map(gather, batches):
-                    q.put(out)
+                for idx in batches:
+                    if stop.is_set():
+                        break
+                    window.acquire()
+                    q.put(pool.submit(gather, idx))
             q.put(sentinel)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield self.prep(item)
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                out = item.result()
+                window.release()
+                yield self.prep(out)
+        finally:
+            stop.set()
+            # unblock the producer if the consumer bailed early
+            window.release()
+            t.join()

@@ -152,7 +152,7 @@ def _sample_w(key, kappa, p, n, num_iters=32):
     a_d, b_d, d_d = wood_consts(kd)                    # detached consts
 
     def body(state):
-        key, eps_acc, done, _ = state
+        key, eps_acc, done, _, it = state
         key, k_eps, k_u = jax.random.split(key, 3)
         eps = jax.random.beta(k_eps, (p - 1.0) / 2.0, (p - 1.0) / 2.0,
                               (n,) + b_shape, dtype=kappa.dtype)
@@ -162,14 +162,19 @@ def _sample_w(key, kappa, p, n, num_iters=32):
         accept = ((p - 1.0) * jnp.log(t) - t + d_d) >= jnp.log(u)
         eps_acc = jnp.where(done, eps_acc, jnp.where(accept, eps, eps_acc))
         done = jnp.logical_or(done, accept)
-        return key, eps_acc, done, jnp.all(done)
+        return key, eps_acc, done, jnp.all(done), it + 1
 
     def cond(state):
-        return jnp.logical_not(state[3])
+        # cap at num_iters so a pathological kappa can't spin forever;
+        # acceptance rate is >~66% per round, so 32 rounds is astronomically
+        # safe for healthy inputs
+        return jnp.logical_and(jnp.logical_not(state[3]),
+                               state[4] < num_iters)
 
     init = (key, jnp.full((n,) + b_shape, 0.5, dtype=kappa.dtype),
-            jnp.zeros((n,) + b_shape, dtype=bool), jnp.asarray(False))
-    _, eps_acc, _, _ = jax.lax.while_loop(cond, body, init)
+            jnp.zeros((n,) + b_shape, dtype=bool), jnp.asarray(False),
+            jnp.asarray(0))
+    _, eps_acc, _, _, _ = jax.lax.while_loop(cond, body, init)
     eps_acc = jax.lax.stop_gradient(eps_acc)
 
     # differentiable pushforward of the accepted draw

@@ -145,13 +145,14 @@ class DeconvNet(nn.Module):
         out_dims = 3 if self.rgb else 1
         h = self.hidden_dims
         d = self.dtype
+        # NB: torch ConvTranspose2d's kaiming fan_in is weight.size(1)*k^2
+        # = OUT-channels * 16, not in-channels (weight is (in, out, kH, kW))
         x = x.reshape(x.shape[0], 1, 1, self.in_dims)
-        x = nn.relu(_deconv(h, 4, 1, self.in_dims * 16, valid=True,
-                            dtype=d)(x))
+        x = nn.relu(_deconv(h, 4, 1, h * 16, valid=True, dtype=d)(x))
         x = nn.relu(_deconv(h, 4, 2, h * 16, dtype=d)(x))
         x = nn.relu(_deconv(h, 4, 2, h * 16, dtype=d)(x))
         x = nn.relu(_deconv(h, 4, 2, h * 16, dtype=d)(x))
-        x = _deconv(out_dims, 4, 2, h * 16, dtype=d)(x)
+        x = _deconv(out_dims, 4, 2, out_dims * 16, dtype=d)(x)
         return x.astype(jnp.float32)
 
 

@@ -10,7 +10,8 @@ TPU-first re-design:
 - schedule values (beta, regularizer lambdas) enter the step as scalar
   arguments, so schedules never recompile;
 - the beta == 0 pure-reconstruction branch (unsupervised.py:80-83) is a
-  where() on the traced scalar, not a Python branch;
+  lax.cond on the traced scalar (skips the KL graph, so NaN KLs cannot leak
+  gradients into shared parameters), not a Python branch;
 - the NaN-KL guard (unsupervised.py:97-98) runs at report boundaries
   (RuntimeError, same message) instead of every step;
 - data-parallel over a jax Mesh: batches sharded on the 'data' axis, state
@@ -96,8 +97,6 @@ class UnsupervisedExperiment:
             from lie_vae_tpu.parallel import shard_state
             self.state = shard_state(self.state, mesh)
 
-        self._train_step = jax.jit(self._build_train_step(),
-                                   donate_argnums=0)
         self._multi_step = jax.jit(self._build_multi_step(),
                                    donate_argnums=0)
         self._eval_step = jax.jit(self._build_eval_step())
@@ -133,28 +132,42 @@ class UnsupervisedExperiment:
             def loss_fn(params):
                 variables = self._variables(params, state.batch_stats)
                 mutable = ["batch_stats"] if has_bn else []
-                (recon, kl_sum, kls, stats), mut = model.apply(
-                    variables, x, n=n, train=True, method="elbo",
+                (x_recon, stats), mut = model.apply(
+                    variables, x, n=n, train=True,
                     rngs={"sample": k_sample}, mutable=mutable)
+                recon = model.recon_loss(x_recon, x)
                 mean_recon = jnp.mean(recon)
-                mean_kl = jnp.mean(kl_sum)
 
-                if control is None:
-                    # loss = mean(recon + beta * kl); guard the beta == 0
-                    # pure-recon path against NaN KLs (unsupervised.py:80-95)
-                    loss = mean_recon + jnp.where(
-                        beta != 0.0, beta * mean_kl, 0.0)
-                elif control_p == 1:
-                    loss = mean_recon + control * jnp.mean(
-                        jnp.abs(beta - kl_sum))
-                elif control_p == 2:
-                    loss = mean_recon + control * jnp.mean(
-                        (beta - kl_sum) ** 2)
-                else:
-                    raise ValueError("Wrong control p")
+                # beta == 0 -> pure-recon path with the KL graph genuinely
+                # skipped (lax.cond), mirroring the reference's Python branch
+                # (unsupervised.py:80-95): a where() on the loss value alone
+                # would still leak NaN KL *gradients* into shared params.
+                def with_kl(_):
+                    kls = tuple(s.kl() for s in stats)
+                    kl_sum = sum(kls)
+                    if control is None:
+                        loss = mean_recon + beta * jnp.mean(kl_sum)
+                    elif control_p == 1:
+                        loss = mean_recon + control * jnp.mean(
+                            jnp.abs(beta - kl_sum))
+                    elif control_p == 2:
+                        loss = mean_recon + control * jnp.mean(
+                            (beta - kl_sum) ** 2)
+                    else:
+                        raise ValueError("Wrong control p")
+                    return (loss, jnp.mean(kl_sum),
+                            tuple(jnp.mean(k) for k in kls))
+
+                def without_kl(_):
+                    zero = jnp.zeros((), mean_recon.dtype)
+                    return (mean_recon, zero,
+                            tuple(zero for _ in stats))
+
+                loss, mean_kl, kls_mean = jax.lax.cond(
+                    beta != 0.0, with_kl, without_kl, None)
 
                 metrics = {"recon": mean_recon, "kl": mean_kl,
-                           "kls": tuple(jnp.mean(k) for k in kls)}
+                           "kls": kls_mean}
                 encoding = stats[0].z[0]
 
                 if use_eq:
@@ -163,8 +176,9 @@ class UnsupervisedExperiment:
                             variables, img, n=1, train=True,
                             method="encode", rngs={"sample": k_eq_enc},
                             mutable=mutable)
-                        enc_stats = out[0] if has_bn else out
-                        return enc_stats[0].z[0]
+                        # apply() with a mutable list (even empty) returns
+                        # (out, mutated_vars)
+                        return out[0][0].z[0]
 
                     eq, _ = equivariance_loss(encode_fn, x, encoding, k_eq)
                     loss = loss + lamb_eq * eq

@@ -101,6 +101,45 @@ def test_scpairs_continuity_training(scpairs_dir):
     assert np.isfinite(exp.test()).all()
 
 
+def test_equivariance_training_without_batchnorm(spherecube_dir):
+    """Regression: the equivariance second encoder pass must work when the
+    model has no BatchNorm (apply() with an empty mutable list still returns
+    an (out, vars) tuple)."""
+    ds = SphereCubeDataset(directory=spherecube_dir)
+    model = LieVAE(latent_mode="so3", decoder_mode="action",
+                   mean_mode="alg", encode_mode="conv",
+                   deconv_mode="deconv", degrees=2, rep_copies=2,
+                   deconv_hidden=8, rgb=True, batch_norm=False)
+    exp = UnsupervisedExperiment(
+        model=model, train_dataset=ds, test_dataset=ds,
+        beta_schedule=ConstantSchedule(1.0), batch_size=8,
+        report_freq=10 ** 9, lr=1e-3, clip_grads=1e-5,
+        equivariance_lamb=lambda it: 5.0)
+    exp.train(0)
+    assert np.isfinite(exp.test()).all()
+
+
+def test_beta_zero_skips_nan_kl(spherecube_dir):
+    """Regression: with beta == 0 a NaN-producing KL (fixed_sigma=0 ->
+    log(0)) must not poison gradients or trip the NaN guard — the reference
+    skips the KL entirely in its Python branch (unsupervised.py:80-95)."""
+    from lie_vae_tpu.data import ToyDataset
+
+    ds = ToyDataset.generate(n=64, degrees=2, rep_copies=3)
+    model = LieVAE(latent_mode="so3", decoder_mode="action",
+                   encode_mode="toy", deconv_mode="toy", mean_mode="alg",
+                   degrees=2, rep_copies=3, fixed_sigma=0.0)
+    exp = UnsupervisedExperiment(
+        model=model, train_dataset=ds, test_dataset=ds,
+        beta_schedule=ConstantSchedule(0.0), batch_size=32,
+        report_freq=10 ** 9, lr=1e-3, clip_grads=None)
+    exp.train(0)   # must not raise 'NaN KL'
+    import jax
+    leaves = jax.tree_util.tree_leaves(exp.state.params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves), \
+        "NaN KL gradients leaked into parameters"
+
+
 def test_equivariance_training(spherecube_dir):
     ds = SphereCubeDataset(directory=spherecube_dir)
     model = LieVAE(latent_mode="so3", decoder_mode="action",
