@@ -21,13 +21,23 @@ import numpy as np
 
 class BatchLoader:
     def __init__(self, dataset, batch_size, shuffle=True, drop_last=True,
-                 seed=0, num_threads=None, prefetch=4):
+                 seed=0, num_threads=None, prefetch=4, num_shards=1,
+                 shard_index=0):
+        """num_shards/shard_index: multi-host data sharding — every host
+        draws the same seeded global permutation and keeps its contiguous
+        slice of each global batch (so
+        jax.make_array_from_process_local_data can assemble the global
+        batch). batch_size is the GLOBAL batch size."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.seed = seed
         self.epoch = 0
+        assert batch_size % num_shards == 0, \
+            "global batch must divide evenly across hosts"
+        self.num_shards = num_shards
+        self.shard_index = shard_index
         if num_threads is None:
             num_threads = getattr(dataset, "num_workers", 0)
         self.num_threads = num_threads
@@ -48,8 +58,13 @@ class BatchLoader:
         else:
             order = np.arange(n)
         stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
-        return [order[i:i + self.batch_size]
-                for i in range(0, stop, self.batch_size)]
+        batches = [order[i:i + self.batch_size]
+                   for i in range(0, stop, self.batch_size)]
+        if self.num_shards > 1:
+            per = self.batch_size // self.num_shards
+            batches = [b[self.shard_index * per:(self.shard_index + 1) * per]
+                       for b in batches]
+        return batches
 
     def __iter__(self):
         batches = self._index_batches()

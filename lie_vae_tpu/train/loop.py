@@ -62,11 +62,15 @@ class UnsupervisedExperiment:
         # advance per *step* — beta/lambda enter as (K,) arrays.
         self.steps_per_call = max(1, int(steps_per_call))
 
+        # multi-host: each process loads its contiguous slice of the
+        # global batch (same seeded permutation everywhere)
+        n_proc, pid = jax.process_count(), jax.process_index()
         self.train_loader = BatchLoader(
             train_dataset, batch_size, shuffle=True, drop_last=True,
-            seed=seed)
+            seed=seed, num_shards=n_proc, shard_index=pid)
         self.test_loader = BatchLoader(
-            test_dataset, batch_size, shuffle=False, drop_last=False)
+            test_dataset, batch_size, shuffle=False, drop_last=False,
+            num_shards=n_proc, shard_index=pid)
 
         self._rng = jax.random.PRNGKey(seed)
 
@@ -236,11 +240,15 @@ class UnsupervisedExperiment:
     # --------------------------------------------------------------- data
 
     def _put(self, x, batch_axis=0):
-        x = jnp.asarray(x)
+        x = jnp.asarray(x) if jax.process_count() == 1 else np.asarray(x)
         if self.mesh is not None:
             spec = [None] * x.ndim
             spec[batch_axis] = "data"
-            return jax.device_put(x, NamedSharding(self.mesh, P(*spec)))
+            sharding = NamedSharding(self.mesh, P(*spec))
+            if jax.process_count() > 1:
+                # assemble the global batch from per-process local slices
+                return jax.make_array_from_process_local_data(sharding, x)
+            return jax.device_put(x, sharding)
         return x
 
     # --------------------------------------------------------------- eval
