@@ -34,14 +34,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from lie_vae_tpu.models import LieVAE
+    from __graft_entry__ import _flagship_model
     from lie_vae_tpu.train.state import TrainState, make_optimizer
 
-    model = LieVAE(latent_mode="so3", decoder_mode="action",
-                   mean_mode="s2s2", encode_mode="conv",
-                   deconv_mode="deconv", degrees=6, rep_copies=10,
-                   deconv_hidden=200, rgb=True, batch_norm=True,
-                   compute_dtype="bfloat16")
+    model = _flagship_model(compute_dtype="bfloat16")
 
     batch = 64
     x = jax.random.uniform(jax.random.PRNGKey(0), (batch, 64, 64, 3),

@@ -46,7 +46,7 @@ class BatchLoader:
 
     def __len__(self):
         n = len(self.dataset)
-        if self.drop_last:
+        if self.drop_last or self.num_shards > 1:
             return n // self.batch_size
         return -(-n // self.batch_size)
 
@@ -57,10 +57,13 @@ class BatchLoader:
             order = rng.permutation(n)
         else:
             order = np.arange(n)
-        stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        drop_last = self.drop_last or self.num_shards > 1
+        stop = (n // self.batch_size) * self.batch_size if drop_last else n
         batches = [order[i:i + self.batch_size]
                    for i in range(0, stop, self.batch_size)]
         if self.num_shards > 1:
+            # only full global batches shard into equal per-host slices;
+            # the ragged tail is dropped on multi-host
             per = self.batch_size // self.num_shards
             batches = [b[self.shard_index * per:(self.shard_index + 1) * per]
                        for b in batches]

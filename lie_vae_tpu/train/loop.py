@@ -226,22 +226,33 @@ class UnsupervisedExperiment:
         model = self.model
         n = self.elbo_samples
 
-        def step(params, batch_stats, x, rng):
+        def step(params, batch_stats, x, n_valid, rng):
+            # n_valid: true batch size — ragged eval tails are padded to the
+            # mesh data-axis size; padding rows are masked out of the means
             x = self._normalize(x)
             variables = self._variables(params, batch_stats)
             recon, kl_sum, kls, _ = model.apply(
                 variables, x, n=n, train=False, method="elbo",
                 rngs={"sample": rng})
-            return (jnp.mean(recon), jnp.mean(kl_sum),
-                    tuple(jnp.mean(k) for k in kls))
+            mask = jnp.arange(x.shape[0]) < n_valid
+            denom = n_valid.astype(recon.dtype)
+
+            def masked_mean(v):           # v: (B,)
+                return jnp.sum(v * mask) / denom
+
+            return (masked_mean(jnp.mean(recon, axis=0)),
+                    masked_mean(kl_sum),
+                    tuple(masked_mean(k) for k in kls))
 
         return step
 
     # --------------------------------------------------------------- data
 
-    def _put(self, x, batch_axis=0):
+    def _put(self, x, batch_axis=0, replicate=False):
         x = jnp.asarray(x) if jax.process_count() == 1 else np.asarray(x)
         if self.mesh is not None:
+            if replicate:
+                return jax.device_put(x, NamedSharding(self.mesh, P()))
             spec = [None] * x.ndim
             spec[batch_axis] = "data"
             sharding = NamedSharding(self.mesh, P(*spec))
@@ -258,10 +269,19 @@ class UnsupervisedExperiment:
         (recon, kl, *kls) means. Reference: unsupervised.py:58-67."""
         results = []
         rng = jax.random.PRNGKey(0)
+        dsize = (dict(zip(self.mesh.axis_names,
+                          self.mesh.devices.shape))["data"]
+                 if self.mesh is not None else 1)
         for i, batch in enumerate(self.test_loader):
-            x = self._put(batch[-1])
+            xb = np.asarray(batch[-1])
+            n_valid = xb.shape[0]
+            pad = (-n_valid) % dsize
+            if pad:   # ragged tail: pad to the data-axis size, mask in-step
+                xb = np.concatenate([xb, np.repeat(xb[-1:], pad, 0)], 0)
+            x = self._put(xb)
             r, k, ks = self._eval_step(self.state.params,
                                        self.state.batch_stats, x,
+                                       jnp.int32(n_valid),
                                        jax.random.fold_in(rng, i))
             results.append(jnp.stack((r, k, *ks)))   # async device scalars
         # one device->host transfer for the whole pass (each float() of a
@@ -422,7 +442,9 @@ class UnsupervisedExperiment:
         for i, batch in enumerate(loader):
             if max_items is not None and i >= max_items:
                 break
-            x = self._put(batch[-1])   # loader already prepped
+            # batch size 1 cannot shard over the data axis: replicate
+            # (every host evaluates the same item; values are averaged)
+            x = self._put(batch[-1], replicate=True)
             vals.append(ll_fn(self.state.params, self.state.batch_stats, x,
                               jax.random.fold_in(rng, i)))
         return float(np.mean([float(v) for v in vals]))

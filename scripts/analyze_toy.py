@@ -95,7 +95,8 @@ def main(argv=None):
     p.add_argument("--degrees", type=int, default=3)
     p.add_argument("--rep_copies", type=int, default=4)
     p.add_argument("--n_data", type=int, default=1024)
-    p.add_argument("--fixed_spectrum", action="store_true", default=True)
+    p.add_argument("--fixed_spectrum", action=argparse.BooleanOptionalAction,
+               default=True, help="--no-fixed_spectrum trains learned item representations")
     p.add_argument("--steps_per_call", type=int, default=8)
     p.add_argument("--out_dir", default="analysis_out")
     p.add_argument("--configs", nargs="*", default=list(CONFIGS))

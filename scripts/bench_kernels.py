@@ -4,10 +4,11 @@ Run: python scripts/bench_kernels.py
 (Queue drained by scalar readbacks; block_until_ready is unreliable through
 this image's tunneled runtime.)
 """
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

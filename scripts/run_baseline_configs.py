@@ -109,10 +109,14 @@ def run(config_name, args):
     # costs tens of seconds) + data decode into the cache
     exp.train(0)
     exp.test()
+    # NOTE: timed epochs still include the per-epoch validation pass +
+    # report that loop.py runs at every epoch end (reference semantics,
+    # unsupervised.py:122-156) — steps/s here is conservative wall-clock;
+    # chip-only throughput is what bench.py measures.
     t0 = time.perf_counter()
     for epoch in range(1, n_epochs):
         exp.train(epoch)
-    last = exp.test()   # test() reads back values -> drains the queue
+    last = exp.test()   # reads back values -> drains the queue
     dt = time.perf_counter() - t0
     timed_steps = (n_epochs - 1) * steps_per_epoch
     res = {

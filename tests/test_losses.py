@@ -41,30 +41,18 @@ def test_continuity_loss_values():
     np.testing.assert_allclose(mean, 12.5)
 
 
-def test_equivariance_loss_zero_for_equivariant_encoder(key):
-    """If the 'encoder' is exactly equivariant by construction, the loss is
-    ~0 up to image-interpolation error: use constant images so rotate() is
-    the identity and an encoder that ignores the image, with encoding I."""
+def test_equivariance_loss_identity_encoder_range(key):
+    """A constant identity encoder is deliberately NON-equivariant: the loss
+    measures |g I - I|_F^2 = 4 - 4 cos(theta) per example, bounded by 8 and
+    positive in expectation. (The exact analytic value is pinned by
+    test_equivariance_loss_detects_mismatch below; a perfectly equivariant
+    encoder is exercised end-to-end in the training tests.)"""
     img = jnp.ones((8, 16, 16, 1)) * 0.5
     encoding = jnp.broadcast_to(jnp.eye(3), (8, 3, 3))
-
-    captured = {}
-
-    def encode_fn(img_rot):
-        captured["img"] = img_rot
-        # perfect equivariant response: g @ I = g; but encode_fn doesn't see
-        # theta, so instead verify the loss equals |g - encode|^2 with a
-        # fixed wrong answer below. Here: return identity -> loss measures
-        # |g I - I|^2 = |g - I|^2 > 0.
-        return encoding
-
-    mean, diffs = equivariance_loss(encode_fn, img, encoding,
+    mean, diffs = equivariance_loss(lambda im: encoding, img, encoding,
                                     jax.random.PRNGKey(3))
-    # g is a rotation about x by theta: |g - I|^2 = 4 - 4cos(theta) in the
-    # rotating 2x2 block -> E[...] = 4 on average
     assert 0.0 < float(mean) < 8.0
-    # constant image rotated stays constant (mass preserved interior)
-    assert np.isfinite(np.asarray(captured["img"])).all()
+    assert diffs.shape == (8,)
 
 
 def test_equivariance_loss_detects_mismatch(key):

@@ -92,6 +92,46 @@ def test_data_parallel_matches_single_device():
                                    rtol=2e-4, atol=2e-5)
 
 
+def test_mesh_eval_with_ragged_tail():
+    """Regression: eval batches not divisible by the data-axis size must
+    be padded + masked, not crash device_put; masked means must match the
+    unpadded computation."""
+    ds = ToyDataset.generate(n=70, degrees=2, rep_copies=3)
+    model = LieVAE(latent_mode="so3", decoder_mode="action",
+                   encode_mode="toy", deconv_mode="toy", mean_mode="alg",
+                   degrees=2, rep_copies=3)
+
+    def build(mesh):
+        return UnsupervisedExperiment(
+            model=model, train_dataset=ds, test_dataset=ds,
+            beta_schedule=ConstantSchedule(1.0), batch_size=32,
+            report_freq=10 ** 9, lr=1e-3, clip_grads=None, mesh=mesh,
+            seed=0)
+
+    e1 = build(None)
+    e8 = build(make_mesh(8, 1))
+    # eval set 70 -> batches 32, 32, 6 (6 must pad to 8 on the mesh)
+    v1 = e1.test()
+    v8 = e8.test()
+    np.testing.assert_allclose(v8, v1, rtol=1e-4, atol=1e-5)
+
+
+def test_mesh_log_likelihood_batch_one():
+    """Regression: the final LL eval uses batch size 1, which cannot shard
+    over the data axis — it must replicate instead of crashing."""
+    ds = ToyDataset.generate(n=64, degrees=2, rep_copies=3)
+    model = LieVAE(latent_mode="so3", decoder_mode="action",
+                   encode_mode="toy", deconv_mode="toy", mean_mode="alg",
+                   degrees=2, rep_copies=3)
+    exp = UnsupervisedExperiment(
+        model=model, train_dataset=ds, test_dataset=ds,
+        beta_schedule=ConstantSchedule(1.0), batch_size=32,
+        report_freq=10 ** 9, lr=1e-3, clip_grads=None,
+        mesh=make_mesh(8, 1))
+    ll = exp.log_likelihood(ds, n=10, max_items=2)
+    assert np.isfinite(ll)
+
+
 def test_model_axis_sharded_state():
     mesh = make_mesh(4, 2)
     ds = ToyDataset.generate(n=128, degrees=2, rep_copies=3)

@@ -180,7 +180,7 @@ def test_steps_per_call_with_ragged_tail(tmp_path):
     reporting still fires."""
     exp = _toy_experiment(deterministic=True, beta=0.0, n=256,
                           steps_per_call=4)
-    # 224 train examples / 32 batch = 7 batches -> groups of 4 and 3
+    # 192 train examples / 32 batch = 6 batches -> groups of 4 and 2
     exp.report_freq = 5
     exp.train(0)
     assert np.isfinite(exp.test()).all()
