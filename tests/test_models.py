@@ -114,6 +114,37 @@ def test_fixed_item_rep(key):
     assert not any("item_rep" in n for n in names)
 
 
+def test_wigner_transpose_flag(key):
+    x = jax.random.normal(key, (3, 9, 2))
+    outs = []
+    for t in (False, True):
+        model = LieVAE(latent_mode="so3", decoder_mode="action",
+                       encode_mode="toy", deconv_mode="toy",
+                       mean_mode="alg", degrees=2, rep_copies=2,
+                       wigner_transpose=t)
+        _, (recon, _) = _init_and_run(model, x)
+        outs.append(np.asarray(recon))
+    # transposed representation produces a different (finite) reconstruction
+    assert np.isfinite(outs[0]).all() and np.isfinite(outs[1]).all()
+    assert not np.allclose(outs[0], outs[1])
+
+
+def test_action_decoder_with_mlp(key):
+    from lie_vae_tpu.models import ActionDecoder
+
+    dec = ActionDecoder(degrees=2, deconv=None, rep_copies=2, with_mlp=True)
+    angles = jax.random.normal(key, (4, 3))
+    variables = dec.init(jax.random.PRNGKey(0), angles)
+    out = dec.apply(variables, angles)
+    assert out.shape == (4, 9, 2)
+    # the intermediate MLP adds parameters
+    names = [
+        "/".join(str(p) for p in path)
+        for path, _ in jax.tree_util.tree_leaves_with_path(
+            variables["params"])]
+    assert any("MLP" in n for n in names)
+
+
 def test_grad_flows_through_elbo(key):
     model = LieVAE(latent_mode="so3", decoder_mode="action",
                    encode_mode="toy", deconv_mode="toy",
