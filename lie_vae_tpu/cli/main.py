@@ -130,6 +130,7 @@ def main(argv=None):
         mesh=mesh,
         log_histograms=args.log_histograms,
         steps_per_call=args.steps_per_call,
+        device_data=args.device_data,
     )
 
     if args.continue_epoch > 0 and args.save_dir:
@@ -226,6 +227,11 @@ def parse_args(argv=None):
     parser.add_argument("--steps_per_call", type=int, default=1,
                         help="optimizer steps per jitted dispatch (scan); "
                              "use 8-32 on TPU to amortize host overhead")
+    parser.add_argument("--device_data", action="store_true",
+                        help="cache the whole dataset on device (uint8) and "
+                             "gather batches on-chip — zero per-step "
+                             "host->chip image traffic for datasets that "
+                             "fit in HBM")
     parser.add_argument("--compute_dtype", default=None,
                         help="conv/MLP compute dtype, e.g. bfloat16 "
                              "(params and Lie math stay float32)")

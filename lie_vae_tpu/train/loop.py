@@ -41,7 +41,8 @@ class UnsupervisedExperiment:
                  clip_grads=1e-5, selective_clip=False, batch_size=64,
                  equivariance_lamb=None, encoder_continuity_lamb=None,
                  control=None, control_p=1, log=None, seed=0, mesh=None,
-                 log_histograms=False, init_state=None, steps_per_call=1):
+                 log_histograms=False, init_state=None, steps_per_call=1,
+                 device_data=False):
         self.model = model
         self.control = control
         self.control_p = control_p
@@ -104,6 +105,46 @@ class UnsupervisedExperiment:
         self._multi_step = jax.jit(self._build_multi_step(),
                                    donate_argnums=0)
         self._eval_step = jax.jit(self._build_eval_step())
+
+        # device-resident dataset cache: for datasets that fit on chip
+        # (uint8 images; e.g. 2048 spherecube images = 25 MB), batches are
+        # gathered on-device from index arrays — zero per-step host->chip
+        # image traffic. Supports identity and pair-flattening prep_batch.
+        self._device_train = self._device_test = None
+        if device_data:
+            self._device_train = self._cache_device(train_dataset)
+            self._device_test = (self._device_train
+                                 if test_dataset is train_dataset
+                                 else self._cache_device(test_dataset))
+            self._multi_step_idx = jax.jit(
+                self._build_multi_step(indexed=True), donate_argnums=0)
+            self._eval_step_idx = jax.jit(
+                self._build_eval_step(indexed=True))
+
+    def _cache_device(self, dataset):
+        """Returns (device_images, rows_per_item)."""
+        assert jax.process_count() == 1, \
+            "device_data is single-host (use the streaming path multi-host)"
+        batch = dataset.gather(np.arange(len(dataset)))
+        imgs = np.asarray(dataset.prep_batch(batch)[-1])
+        assert imgs.shape[0] % len(dataset) == 0, \
+            "device_data needs prep_batch to keep an integer rows-per-item"
+        factor = imgs.shape[0] // len(dataset)
+        data = self._put(jnp.asarray(imgs), replicate=True)
+        return data, factor
+
+    def _expand_item_indices(self, idx, factor):
+        if factor == 1:
+            return np.asarray(idx, np.int32)
+        return (np.asarray(idx, np.int64)[:, None] * factor
+                + np.arange(factor)).reshape(-1).astype(np.int32)
+
+    def _constrain_batch(self, x):
+        if self.mesh is not None:
+            spec = P("data", *([None] * (x.ndim - 1)))
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(self.mesh, spec))
+        return x
 
     # ------------------------------------------------------------- steps
 
@@ -203,13 +244,27 @@ class UnsupervisedExperiment:
 
         return step
 
-    def _build_multi_step(self):
+    def _build_multi_step(self, indexed=False):
         """scan-of-K train steps: one dispatch, K optimizer updates.
 
-        xs: (K, B, ...); betas/lamb_eqs/lamb_conts: (K,); rngs: (K, 2).
+        xs: (K, B, ...) batches — or, when indexed=True, the device-resident
+        dataset plus (K, B) row indices gathered on-device;
+        betas/lamb_eqs/lamb_conts: (K,); rngs: (K, 2).
         Returns (state, metrics with a leading K axis).
         """
         step = self._build_train_step()
+
+        if indexed:
+            def multi(state, data, idxs, betas, lamb_eqs, lamb_conts, rngs):
+                def body(s, inp):
+                    idx, beta, le, lc, rng = inp
+                    x = self._constrain_batch(jnp.take(data, idx, axis=0))
+                    return step(s, x, beta, le, lc, rng)
+
+                return jax.lax.scan(
+                    body, state, (idxs, betas, lamb_eqs, lamb_conts, rngs))
+
+            return multi
 
         def multi(state, xs, betas, lamb_eqs, lamb_conts, rngs):
             def body(s, inp):
@@ -222,9 +277,18 @@ class UnsupervisedExperiment:
 
         return multi
 
-    def _build_eval_step(self):
+    def _build_eval_step(self, indexed=False):
         model = self.model
         n = self.elbo_samples
+
+        if indexed:
+            inner = self._build_eval_step()
+
+            def step_idx(params, batch_stats, data, idx, n_valid, rng):
+                x = self._constrain_batch(jnp.take(data, idx, axis=0))
+                return inner(params, batch_stats, x, n_valid, rng)
+
+            return step_idx
 
         def step(params, batch_stats, x, n_valid, rng):
             # n_valid: true batch size — ragged eval tails are padded to the
@@ -272,6 +336,23 @@ class UnsupervisedExperiment:
         dsize = (dict(zip(self.mesh.axis_names,
                           self.mesh.devices.shape))["data"]
                  if self.mesh is not None else 1)
+
+        if self._device_test is not None:
+            data, factor = self._device_test
+            for i, idx in enumerate(self.test_loader._index_batches()):
+                rows = self._expand_item_indices(idx, factor)
+                n_valid = rows.shape[0]
+                pad = (-n_valid) % dsize
+                if pad:
+                    rows = np.concatenate(
+                        [rows, np.repeat(rows[-1:], pad, 0)], 0)
+                r, k, ks = self._eval_step_idx(
+                    self.state.params, self.state.batch_stats, data,
+                    self._put(jnp.asarray(rows), replicate=True),
+                    jnp.int32(n_valid), jax.random.fold_in(rng, i))
+                results.append(jnp.stack((r, k, *ks)))
+            return np.mean(np.asarray(jnp.stack(results)), axis=0)
+
         for i, batch in enumerate(self.test_loader):
             xb = np.asarray(batch[-1])
             n_valid = xb.shape[0]
@@ -316,12 +397,18 @@ class UnsupervisedExperiment:
             its, xs = zip(*group)
             scheds = [self._schedule_values(g) for g in its]
             rngs = jnp.stack([jax.random.fold_in(self._rng, g) for g in its])
-            xs = self._put(np.stack(xs), batch_axis=1)
             betas, eqs, conts = (jnp.asarray([s[i] for s in scheds],
                                              dtype=jnp.float32)
                                  for i in range(3))
-            self.state, metrics = self._multi_step(
-                self.state, xs, betas, eqs, conts, rngs)
+            if self._device_train is not None:
+                data, _ = self._device_train
+                idxs = self._put(jnp.asarray(np.stack(xs)), replicate=True)
+                self.state, metrics = self._multi_step_idx(
+                    self.state, data, idxs, betas, eqs, conts, rngs)
+            else:
+                xb = self._put(np.stack(xs), batch_axis=1)
+                self.state, metrics = self._multi_step(
+                    self.state, xb, betas, eqs, conts, rngs)
             window.append((metrics, len(group)))
             steps_since_report += len(group)
             if (steps_since_report >= self.report_freq
@@ -333,6 +420,21 @@ class UnsupervisedExperiment:
                 window = []
                 steps_since_report = 0
                 start = time.time()
+
+        if self._device_train is not None:
+            # index-only epoch: batches are gathered on device
+            _, factor = self._device_train
+            batches = self.train_loader._index_batches()
+            self.train_loader.epoch += 1
+            group = []
+            for it, idx in enumerate(batches):
+                global_it = epoch * num_batches + it + 1
+                group.append((global_it,
+                              self._expand_item_indices(idx, factor)))
+                if len(group) == K or it + 1 == num_batches:
+                    flush(group, it)
+                    group = []
+            return
 
         group = []
         for it, batch in enumerate(self.train_loader):

@@ -53,7 +53,8 @@ def build(config_name, args):
                       degrees=6, rep_copies=10, deconv_hidden=200,
                       batch_norm=True, compute_dtype=args.compute_dtype)
     kw = dict(batch_size=64, report_freq=10 ** 9, lr=1e-3, clip_grads=1e-5,
-              steps_per_call=args.steps_per_call)
+              steps_per_call=args.steps_per_call,
+              device_data=args.device_data)
 
     if config_name == "1-toy-so3-ae":
         ds = ToyDataset.generate(n=4096, degrees=6, rep_copies=10)
@@ -151,6 +152,10 @@ def main(argv=None):
     p.add_argument("--n_pairs", type=int, default=512)
     p.add_argument("--steps_per_call", type=int, default=16)
     p.add_argument("--compute_dtype", default="bfloat16")
+    p.add_argument("--device_data", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="cache datasets on device (fits easily at these "
+                        "sizes); --no-device_data streams from host")
     p.add_argument("--out", default="BENCHMARKS.md")
     p.add_argument("--configs", nargs="*",
                    default=list(CONFIG_DESCRIPTIONS))

@@ -186,6 +186,32 @@ def test_steps_per_call_with_ragged_tail(tmp_path):
     assert np.isfinite(exp.test()).all()
 
 
+def test_device_data_matches_streaming():
+    """On-device dataset caching must produce the same parameter trajectory
+    as the host streaming path (same loader permutation, same rngs)."""
+    ds = ToyDataset.generate(n=128, degrees=2, rep_copies=3)
+
+    def build(device_data):
+        model = LieVAE(latent_mode="so3", decoder_mode="action",
+                       encode_mode="toy", deconv_mode="toy",
+                       mean_mode="s2s2", degrees=2, rep_copies=3)
+        return UnsupervisedExperiment(
+            model=model, train_dataset=ds, test_dataset=ds,
+            beta_schedule=ConstantSchedule(1.0), batch_size=32,
+            report_freq=10 ** 9, lr=1e-3, clip_grads=None, seed=0,
+            steps_per_call=2, device_data=device_data)
+
+    e_host, e_dev = build(False), build(True)
+    e_host.train(0)
+    e_dev.train(0)
+    np.testing.assert_allclose(e_dev.test(), e_host.test(),
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(e_host.state.params),
+                    jax.tree_util.tree_leaves(e_dev.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     """orbax save/restore preserves params, batch_stats, opt state, step."""
     from lie_vae_tpu.train.checkpoint import restore_state, save_state
