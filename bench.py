@@ -26,8 +26,8 @@ import json
 import time
 
 REF_STEPS_PER_SEC = 30.0
-SCAN_K = 32
-N_CALLS = 10  # 320 timed steps
+SCAN_K = 64
+N_CALLS = 16  # 1024 timed steps
 
 
 def main():

@@ -130,15 +130,41 @@ class ConvEncoder(nn.Module):
         return x.reshape(x.shape[0], -1).astype(jnp.float32)
 
 
+class FastConvTranspose2x(nn.Module):
+    """Drop-in for nn.ConvTranspose(features, (4,4), (2,2), 'SAME') computed
+    via the phase decomposition (ops/fastconv.py) — exact same function and
+    parameter tree, ~2x faster on TPU when `features` is far below the
+    128-lane tile (the 1|3-channel image head)."""
+    features: int
+    fan_in: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        from lie_vae_tpu.ops.fastconv import phase_deconv2x
+        kernel = self.param("kernel", torch_init(self.fan_in),
+                            (4, 4, x.shape[-1], self.features))
+        bias = self.param("bias", torch_init(self.fan_in), (self.features,))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
+            bias = bias.astype(self.dtype)
+        return phase_deconv2x(x, kernel, bias)
+
+
 class DeconvNet(nn.Module):
     """1x1 -> 64x64 transpose-conv stack, NHWC; no output nonlinearity.
 
     Reference: DeconvNet, lie_vae/experiments/nets.py:60-75.
+    The final (image-channel) layer uses the phase-decomposed transpose conv
+    when fast_head is set: same math and identical parameter tree, but the
+    four output phases ride the MXU lanes together (see ops/fastconv.py).
     """
     in_dims: int
     hidden_dims: int
     rgb: bool = False
     dtype: Any = None    # compute dtype for convs (params stay fp32)
+    fast_head: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -152,7 +178,11 @@ class DeconvNet(nn.Module):
         x = nn.relu(_deconv(h, 4, 2, h * 16, dtype=d)(x))
         x = nn.relu(_deconv(h, 4, 2, h * 16, dtype=d)(x))
         x = nn.relu(_deconv(h, 4, 2, h * 16, dtype=d)(x))
-        x = _deconv(out_dims, 4, 2, out_dims * 16, dtype=d)(x)
+        if self.fast_head:
+            x = FastConvTranspose2x(out_dims, out_dims * 16, dtype=d,
+                                    name="ConvTranspose_4")(x)
+        else:
+            x = _deconv(out_dims, 4, 2, out_dims * 16, dtype=d)(x)
         return x.astype(jnp.float32)
 
 
