@@ -10,4 +10,5 @@ from lie_vae_tpu.ops.so3 import (  # noqa: F401
 from lie_vae_tpu.ops.wigner import (  # noqa: F401
     j_matrix, z_rot_mat, wigner_d_matrix,
     block_wigner_matrix, block_wigner_matrix_multiply,
+    block_wigner_apply_zjz,
 )

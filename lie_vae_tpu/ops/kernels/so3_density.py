@@ -95,7 +95,9 @@ def _density_bwd_kernel(v_ref, sigma_ref, shells_ref, g_ref,
 def _make_density_op(k, clamp, block_n, interpret):
     shells = (2.0 * math.pi
               * np.arange(-k, k + 1, dtype=np.float32))[:, None]
-    shells_j = jnp.asarray(shells)
+    # numpy, not jnp: this function is lru_cached, and a jnp constant made
+    # while tracing would memoize that trace's tracer (leaks on reuse).
+    shells_j = shells
     n_shells = 2 * k + 1
 
     def specs(i_rows):

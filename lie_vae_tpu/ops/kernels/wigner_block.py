@@ -156,7 +156,10 @@ def _make_op(L, channels, transpose, block_b, interpret):
     freqs_np, Cc, Crow, Ccol, Cboth = _kernel_coeffs(L)
     M = Cc.shape[0]
     S = (L + 1) ** 2
-    consts = tuple(jnp.asarray(x) for x in (Cc, Crow, Ccol, Cboth))
+    # keep as numpy: this function is lru_cached, and a jnp constant created
+    # while tracing would memoize a tracer from that trace (leak on reuse);
+    # numpy operands are lifted into each trace at bind time instead.
+    consts = tuple(np.asarray(x, np.float32) for x in (Cc, Crow, Ccol, Cboth))
 
     def batch_spec(*trail):
         return pl.BlockSpec((block_b,) + trail,

@@ -36,6 +36,7 @@ import jax.numpy as jnp
 __all__ = [
     "j_matrix", "z_rot_mat", "wigner_d_matrix",
     "block_wigner_matrix", "block_wigner_matrix_multiply",
+    "block_wigner_apply_zjz",
 ]
 
 _TABLE_PATH = os.path.join(os.path.dirname(__file__), "jd_tables.npz")
@@ -192,25 +193,91 @@ def wigner_d_matrix(angles, degree, dtype=None):
     return W.reshape(batch_shape + (dim, dim))
 
 
+@functools.lru_cache(maxsize=32)
+def _block_j(max_degree):
+    """Constant block-diagonal J = diag(J_0 .. J_L), (S, S) float64."""
+    L = max_degree
+    S = (L + 1) ** 2
+    J = np.zeros((S, S), dtype=np.float64)
+    for l in range(L + 1):
+        o = l * l
+        J[o:o + 2 * l + 1, o:o + 2 * l + 1] = j_matrix(l)
+    return J
+
+
+def block_wigner_apply_zjz(angles, spectrum, max_degree, transpose=False):
+    """W(angles) @ spectrum without ever materializing W.
+
+    Applies the Pinchon-Hoggan chain Z(a) J Z(b) J Z(g) right-to-left to
+    the spectrum: the two J factors are whole-batch matmuls against ONE
+    constant block-diagonal (S, S) matrix, and each Z factor is elementwise
+    (cos(f_i th) x[i] + sin(f_i th) x[rev i]). Per sample this is
+    O(S^2 C + S C) work versus O(L S^2 + S^2 C) for synthesize-then-bmm,
+    and — decisive on TPU — the batch dimension rides the MXU lanes of a
+    single constant matmul instead of B tiny (2l+1)-sized products, so
+    HBM traffic is just spectrum-in/spectrum-out.
+
+    transpose=True applies W^T using the identity
+        Z(th)^T = Z(-th),  (J Z J)^T = J Z(-b) J  (J symmetric)
+    i.e. the same chain with angles (-g, -b, -a).
+
+    Same value as block_wigner_matrix_multiply (tested); reference
+    semantics: lie_vae/lie_tools.py:226-253.
+    """
+    angles = jnp.asarray(angles).reshape((-1, 3))
+    dtype = spectrum.dtype
+    L = max_degree
+    S = (L + 1) ** 2
+    freqs_np, rev_np, _ = _coeffs(L)
+    freqs = jnp.asarray(freqs_np, dtype=dtype)
+    rev = jnp.asarray(rev_np)
+    J = jnp.asarray(_block_j(L), dtype=dtype)
+
+    if spectrum.ndim == 2:
+        spectrum = jnp.broadcast_to(
+            spectrum[None], (angles.shape[0],) + spectrum.shape)
+    assert spectrum.shape[1] == S, (spectrum.shape, S)
+
+    a, b, g = angles[:, 0], angles[:, 1], angles[:, 2]
+    if transpose:
+        a, b, g = -g, -b, -a
+
+    def zmul(theta, x):
+        c = jnp.cos(freqs * theta[:, None]).astype(dtype)
+        s = jnp.sin(freqs * theta[:, None]).astype(dtype)
+        return c[:, :, None] * x + s[:, :, None] * x[:, rev, :]
+
+    def jmul(x):
+        return jnp.einsum("se,bec->bsc", J, x)
+
+    return zmul(a, jmul(zmul(b, jmul(zmul(g, spectrum)))))
+
+
 def block_wigner_matrix_multiply(angles, spectrum, max_degree,
-                                 transpose=False, impl="xla"):
+                                 transpose=False, impl="zjz"):
     """Rotate a direct-sum spectrum by the group element given as ZYZ angles.
 
     Input:
       - angles   (B, 3) ZYZ Euler angles
       - spectrum (B, S, C) or (S, C) Fourier modes, S = (max_degree+1)^2
       - transpose: apply the transposed representation matrices
-      - impl: 'xla' (default) | 'pallas' (fused VMEM kernel with a
-        custom-VJP backward kernel — trainable) | 'auto' (pallas for
-        large B on TPU)
+      - impl: 'zjz' (default — the factored chain, W never materialized;
+        6-12x the other paths at large B, see scripts/bench_kernels.py) |
+        'dense' (synthesize the full W then one batched matmul; used when
+        the caller also wants W's structure) | 'pallas' (fused VMEM kernel
+        with a custom-VJP backward kernel — trainable) | 'auto' (pallas
+        for large B on TPU) | 'xla' (alias of 'dense', kept for
+        compatibility)
 
     Output: (B, S, C).
 
     Reference: block_wigner_matrix_multiply, lie_vae/lie_tools.py:226-253
-    (a Python loop of per-degree bmm's). Here: one fused W build + one
-    batched matmul over the whole spectrum.
+    (a Python loop of per-degree bmm's).
     """
-    if impl != "xla":
+    if impl == "zjz":
+        return block_wigner_apply_zjz(angles, spectrum, max_degree,
+                                      transpose=transpose)
+    if impl not in ("xla", "dense"):
         import jax
         b = angles.reshape((-1, 3)).shape[0]
         on_tpu = jax.default_backend() == "tpu"

@@ -1,8 +1,18 @@
 """Benchmark Pallas kernels vs the XLA paths on the real TPU chip.
 
 Run: python scripts/bench_kernels.py
-(Queue drained by scalar readbacks; block_until_ready is unreliable through
-this image's tunneled runtime.)
+
+Measurement notes (this image's tunneled axon runtime):
+- jax.block_until_ready returns before remote execution finishes; the queue
+  is drained with a scalar readback instead.
+- a single dispatch costs ~1-10 ms of host/tunnel time, so each candidate is
+  wrapped in a K-step lax.scan whose carry feeds back into the inputs —
+  XLA can neither hoist the op out of the loop nor dead-code it, and the
+  per-step figure is chip time, not dispatch rate.
+
+The table prints an HBM speed-of-light estimate per shape (bytes moved at
+819 GB/s on v5e) — BASELINE.md's north star is these kernels at HBM
+roofline.
 """
 import os
 import sys
@@ -12,23 +22,41 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from lie_vae_tpu import ops
 from lie_vae_tpu.distributions.so3 import so3_wrapped_log_density
 from lie_vae_tpu.ops.kernels import (
     block_wigner_matrix_multiply_pallas, so3_wrapped_log_density_pallas)
 
+HBM_GBPS = 819.0  # v5e
 
-def timeit(f, *args, n=50):
-    jf = jax.jit(f)
-    out = jf(*args)
-    float(jnp.sum(out))
+
+def timeit(f, *args, scan_k=64, n=3):
+    """Per-call milliseconds of f(*args) on chip, dispatch amortized away."""
+
+    def run(*xs):
+        def body(c, _):
+            out = f(xs[0] + c, *xs[1:])
+            s = jnp.sum(out)
+            return s.astype(xs[0].dtype) * 1e-30, s
+
+        _, outs = lax.scan(body, jnp.zeros((), xs[0].dtype), None,
+                           length=scan_k)
+        return outs
+
+    jf = jax.jit(run)
+    float(jf(*args)[-1])                      # compile + drain
     t0 = time.perf_counter()
     o = None
     for _ in range(n):
         o = jf(*args)
-    float(jnp.sum(o))
-    return (time.perf_counter() - t0) / n * 1e3
+    float(o[-1])                              # true queue drain
+    return (time.perf_counter() - t0) / (n * scan_k) * 1e3
+
+
+def sol_ms(bytes_moved):
+    return bytes_moved / (HBM_GBPS * 1e9) * 1e3
 
 
 def main():
@@ -41,6 +69,7 @@ def main():
         angles = ops.group_matrix_to_eazyz(
             ops.random_group_matrices(k1, B)).astype(jnp.float32)
         spec = jax.random.normal(k2, (B, 49, 10), dtype=jnp.float32)
+        sol = sol_ms(2 * B * 49 * 10 * 4 + B * 3 * 4)
         t_xla = timeit(
             lambda a, s: ops.block_wigner_matrix_multiply(a, s, 6),
             angles, spec)
@@ -52,8 +81,12 @@ def main():
             lambda a, s: block_wigner_matrix_multiply_pallas(
                 a, s, 6, block_b=32, interpret=False),
             angles, spec)
+        t_zjz = timeit(
+            lambda a, s: ops.block_wigner_apply_zjz(a, s, 6),
+            angles, spec)
         print(f"B={B:6d}: xla {t_xla:7.3f} ms | pallas(b8) {t_pl:7.3f} ms "
-              f"| pallas(b32) {t_pl32:7.3f} ms")
+              f"| pallas(b32) {t_pl32:7.3f} ms | zjz {t_zjz:7.3f} ms "
+              f"| HBM-SoL {sol:7.3f} ms")
 
     print("== block Wigner apply, serving scale (L=10, S=121, C=16) ==")
     for B in (1024, 4096):
@@ -61,14 +94,19 @@ def main():
         angles = ops.group_matrix_to_eazyz(
             ops.random_group_matrices(k1, B)).astype(jnp.float32)
         spec = jax.random.normal(k2, (B, 121, 16), dtype=jnp.float32)
+        sol = sol_ms(2 * B * 121 * 16 * 4 + B * 3 * 4)
         t_xla = timeit(
             lambda a, s: ops.block_wigner_matrix_multiply(a, s, 10),
-            angles, spec, n=20)
+            angles, spec, scan_k=32)
         t_pl = timeit(
             lambda a, s: block_wigner_matrix_multiply_pallas(
                 a, s, 10, block_b=16, interpret=False),
-            angles, spec, n=20)
-        print(f"B={B:6d}: xla {t_xla:7.3f} ms | pallas(b16) {t_pl:7.3f} ms")
+            angles, spec, scan_k=32)
+        t_zjz = timeit(
+            lambda a, s: ops.block_wigner_apply_zjz(a, s, 10),
+            angles, spec, scan_k=32)
+        print(f"B={B:6d}: xla {t_xla:7.3f} ms | pallas(b16) {t_pl:7.3f} ms "
+              f"| zjz {t_zjz:7.3f} ms | HBM-SoL {sol:7.3f} ms")
 
     print("== wrapped log-density (k=10) ==")
     for N in (4096, 65536, 524288):
@@ -76,12 +114,14 @@ def main():
         v = jax.random.normal(k1, (1, N, 3), dtype=jnp.float32)
         sigma = jax.nn.softplus(
             jax.random.normal(k2, (N, 3), dtype=jnp.float32)) + 0.05
+        sol = sol_ms(N * 3 * 4 * 2 + N * 4)
         t_xla = timeit(lambda v, s: so3_wrapped_log_density(v, s, 10),
                        v, sigma)
         t_pl = timeit(
             lambda v, s: so3_wrapped_log_density_pallas(
                 v, s, 10, interpret=False), v, sigma)
-        print(f"N={N:7d}: xla {t_xla:7.3f} ms | pallas {t_pl:7.3f} ms")
+        print(f"N={N:7d}: xla {t_xla:7.3f} ms | pallas {t_pl:7.3f} ms "
+              f"| HBM-SoL {sol:7.3f} ms")
 
 
 if __name__ == "__main__":

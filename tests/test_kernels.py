@@ -162,3 +162,28 @@ def test_density_kernel_padding_safe(key):
                                          interpret=True)
     assert out.shape == (1, 7)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_kernel_ops_reusable_across_jits(key):
+    """Regression: the lru_cached Pallas ops must not memoize constants
+    created inside one jit trace (UnexpectedTracerError on second jit)."""
+    import jax
+    import jax.numpy as jnp
+    from lie_vae_tpu.ops.kernels import (block_wigner_matrix_multiply_pallas,
+                                         so3_wrapped_log_density_pallas)
+
+    angles = jax.random.uniform(key, (8, 3))
+    spec = jax.random.normal(key, (8, 16, 3))
+    f = lambda a, s: block_wigner_matrix_multiply_pallas(
+        a, s, 3, interpret=True).sum()
+    out1 = jax.jit(f)(angles, spec)
+    out2 = jax.jit(lambda a, s: f(a, s) * 2.0)(angles, spec)  # second trace
+    assert jnp.isfinite(out1) and jnp.isfinite(out2)
+
+    v = jax.random.normal(key, (2, 8, 3)) * 0.3
+    sigma = jnp.abs(jax.random.normal(key, (8, 3))) + 0.5
+    g = lambda vv, ss: so3_wrapped_log_density_pallas(
+        vv, ss, k=3, interpret=True).sum()
+    out3 = jax.jit(g)(v, sigma)
+    out4 = jax.jit(lambda vv, ss: g(vv, ss) * 2.0)(v, sigma)
+    assert jnp.isfinite(out3) and jnp.isfinite(out4)

@@ -208,3 +208,53 @@ def test_float32_accuracy(key):
     W64 = ops.block_wigner_matrix(angles, L)
     W32 = ops.block_wigner_matrix(angles.astype(jnp.float32), L)
     np.testing.assert_allclose(W32, W64, rtol=1e-4, atol=1e-4)
+
+
+def test_zjz_apply_matches_dense():
+    """block_wigner_apply_zjz == synthesize-then-bmm, incl. transpose and
+    the shared-spectrum broadcast form."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from lie_vae_tpu.ops import wigner
+
+    key = jax.random.PRNGKey(11)
+    for L in (0, 1, 4, 6):
+        S = (L + 1) ** 2
+        ang = jax.random.uniform(key, (12, 3), minval=-3.0, maxval=3.0)
+        spec = jax.random.normal(jax.random.fold_in(key, L), (12, S, 5))
+        for tr in (False, True):
+            ref = wigner.block_wigner_matrix_multiply(
+                ang, spec, L, transpose=tr, impl="dense")
+            got = wigner.block_wigner_apply_zjz(ang, spec, L, transpose=tr)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=2e-5, atol=2e-5)
+    shared = jax.random.normal(key, (49, 3))
+    ref = wigner.block_wigner_matrix_multiply(ang[:, :3], shared, 6,
+                                              impl="dense")
+    got = wigner.block_wigner_apply_zjz(ang[:, :3], shared, 6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_zjz_apply_grads_match_dense():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from lie_vae_tpu.ops import wigner
+
+    key = jax.random.PRNGKey(12)
+    ang = jax.random.uniform(key, (6, 3), minval=-2.0, maxval=2.0)
+    spec = jax.random.normal(jax.random.fold_in(key, 1), (6, 16, 4))
+    ct = jax.random.normal(jax.random.fold_in(key, 2), (6, 16, 4))
+
+    def loss(impl):
+        return lambda a, s: jnp.sum(
+            wigner.block_wigner_matrix_multiply(a, s, 3, impl=impl) * ct)
+
+    ga_ref, gs_ref = jax.grad(loss("dense"), (0, 1))(ang, spec)
+    ga, gs = jax.grad(loss("zjz"), (0, 1))(ang, spec)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(ga_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(gs_ref),
+                               rtol=1e-4, atol=1e-5)
