@@ -262,32 +262,27 @@ def block_wigner_matrix_multiply(angles, spectrum, max_degree,
       - spectrum (B, S, C) or (S, C) Fourier modes, S = (max_degree+1)^2
       - transpose: apply the transposed representation matrices
       - impl: 'zjz' (default — the factored chain, W never materialized;
-        6-12x the other paths at large B, see scripts/bench_kernels.py) |
-        'dense' (synthesize the full W then one batched matmul; used when
-        the caller also wants W's structure) | 'pallas' (fused VMEM kernel
-        with a custom-VJP backward kernel — trainable) | 'auto' (pallas
-        for large B on TPU) | 'xla' (alias of 'dense', kept for
-        compatibility)
+        6-12x the other paths at large B, see scripts/bench_kernels.py;
+        'xla' and 'auto' are aliases, it is the fastest XLA path at every
+        measured size) | 'dense' (synthesize the full W then one batched
+        matmul; for callers who also want W's structure) | 'pallas' (fused
+        VMEM kernel with a custom-VJP backward kernel, kept for
+        comparison — zjz beats it)
 
     Output: (B, S, C).
 
     Reference: block_wigner_matrix_multiply, lie_vae/lie_tools.py:226-253
     (a Python loop of per-degree bmm's).
     """
-    if impl == "zjz":
+    if impl in ("zjz", "xla", "auto"):
         return block_wigner_apply_zjz(angles, spectrum, max_degree,
                                       transpose=transpose)
-    if impl not in ("xla", "dense"):
-        import jax
-        b = angles.reshape((-1, 3)).shape[0]
-        on_tpu = jax.default_backend() == "tpu"
-        if impl == "pallas" or (impl == "auto" and on_tpu and b >= 512
-                                and max_degree <= 10):
-            from lie_vae_tpu.ops.kernels import (
-                block_wigner_matrix_multiply_pallas)
-            return block_wigner_matrix_multiply_pallas(
-                angles, spectrum, max_degree, transpose=transpose,
-                block_b=32)
+    if impl == "pallas":
+        from lie_vae_tpu.ops.kernels import (
+            block_wigner_matrix_multiply_pallas)
+        return block_wigner_matrix_multiply_pallas(
+            angles, spectrum, max_degree, transpose=transpose,
+            block_b=32)
     W = block_wigner_matrix(angles, max_degree, dtype=spectrum.dtype)
     if transpose:
         W = jnp.swapaxes(W, -1, -2)
