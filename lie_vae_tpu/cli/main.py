@@ -162,7 +162,9 @@ def main(argv=None):
     if args.beta != 0:
         print("Computing LL..")
         ll = experiment.log_likelihood(test_dataset, n=args.ll_samples,
-                                       max_items=args.ll_max_items)
+                                       max_items=args.ll_max_items,
+                                       batch_size=args.ll_batch,
+                                       n_chunk=args.ll_chunk)
         print("LL: {:.2f}".format(ll))
         with open("ll.txt", "a") as f:
             f.write("{} : {:4f}\n".format(args.name, ll))
@@ -241,6 +243,13 @@ def parse_args(argv=None):
                              "backwards, safe for training)")
     parser.add_argument("--ll_samples", type=int, default=500)
     parser.add_argument("--ll_max_items", type=int, default=None)
+    parser.add_argument("--ll_batch", type=int, default=1,
+                        help="items per LL-eval dispatch (the estimator is "
+                             "per-item, so batching is exact; 1 = the "
+                             "reference's loop, main.py:137-140)")
+    parser.add_argument("--ll_chunk", type=int, default=None,
+                        help="samples per scan chunk inside LL eval "
+                             "(bounds the (n,B,...) decoder intermediates)")
     parser.add_argument("--profile_dir", default=None,
                         help="capture a jax.profiler device trace of a few "
                              "training dispatches before the run")

@@ -224,15 +224,23 @@ class LieVAE(nn.Module):
         recon = self.recon_loss(x_recon, x)
         return recon, kl_summed, kls, stats
 
-    def log_likelihood(self, x, n=1):
-        """IWAE-style importance-sampled log-likelihood estimate, scalar.
+    def log_weights(self, x, n=1):
+        """Per-sample importance log-weights log p(x|z) + log p(z) - log q,
+        shape (n, B) — the inner term of the IWAE estimator.
 
-        Reference: VAE.log_likelihood, vae.py:164-171.
+        Reference: the terms of VAE.log_likelihood, vae.py:164-170.
         """
         x_recon, stats = self(x, n=n, train=False)
         log_p_z = sum(s.log_prior() for s in stats)          # (n, B)
         log_q_z_x = sum(s.log_posterior() for s in stats)    # (n, B)
         log_p_x_z = -self.recon_loss(x_recon, x)             # (n, B)
+        return log_p_x_z + log_p_z - log_q_z_x
+
+    def log_likelihood(self, x, n=1):
+        """IWAE-style importance-sampled log-likelihood estimate, scalar.
+
+        Reference: VAE.log_likelihood, vae.py:164-171.
+        """
         return jnp.mean(
-            jax.nn.logsumexp(log_p_x_z + log_p_z - log_q_z_x, axis=0)
+            jax.nn.logsumexp(self.log_weights(x, n=n), axis=0)
             - jnp.log(float(n)))

@@ -530,23 +530,69 @@ class UnsupervisedExperiment:
 
     # ----------------------------------------------------- log-likelihood
 
-    def log_likelihood(self, dataset, n=500, max_items=None):
-        """Importance-sampled LL over a dataset, batch size 1.
+    def log_likelihood(self, dataset, n=500, max_items=None, batch_size=1,
+                       n_chunk=None):
+        """Importance-sampled LL over a dataset.
 
-        Reference: main.py:134-143 (n=500, batch 1, eval mode).
+        Reference: main.py:134-143 (n=500, batch 1, eval mode). The
+        estimator is unchanged; ``batch_size`` and ``n_chunk`` are
+        evaluation-throughput features: items are evaluated B at a time
+        (the IWAE estimate is per-item, so batching is exact) and the n
+        samples are drawn in lax.scan chunks merged with a running
+        logsumexp, so the (n, B, ...) decoder intermediates never
+        materialize at once. The tail batch is padded and masked out.
         """
-        ll_fn = jax.jit(lambda params, bs, x, rng: self.model.apply(
-            self._variables(params, bs), self._normalize(x), n=n,
-            method="log_likelihood", rngs={"sample": rng}))
-        loader = BatchLoader(dataset, 1, shuffle=True, drop_last=False)
-        vals = []
+        if n_chunk is None:
+            n_chunk = n if batch_size == 1 else max(1, min(n, 50))
+        chunks = max(1, -(-n // n_chunk))
+        n_eff = chunks * n_chunk     # == n whenever n_chunk divides n
+
+        def ll_fn(params, bs, x, rng):
+            # (cached below: re-jitting per log_likelihood() call would
+            # re-trace every time)
+            variables = self._variables(params, bs)
+            xn = self._normalize(x)
+
+            def chunk(carry, key):
+                w = self.model.apply(variables, xn, n=n_chunk,
+                                     method="log_weights",
+                                     rngs={"sample": key})   # (n_chunk, B)
+                return jnp.logaddexp(
+                    carry, jax.nn.logsumexp(w, axis=0)), None
+
+            init = jnp.full((x.shape[0],), -jnp.inf, jnp.float32)
+            lse, _ = jax.lax.scan(chunk, init, jax.random.split(rng, chunks))
+            return lse - jnp.log(float(n_eff))               # (B,)
+
+        cache_key = (n_chunk, chunks, n_eff)
+        if not hasattr(self, "_ll_jit_cache"):
+            self._ll_jit_cache = {}
+        ll_jit = self._ll_jit_cache.get(cache_key)
+        if ll_jit is None:
+            ll_jit = self._ll_jit_cache[cache_key] = jax.jit(ll_fn)
+        loader = BatchLoader(dataset, batch_size, shuffle=True,
+                             drop_last=False)
+        vals, seen = [], 0
         rng = jax.random.PRNGKey(0)
         for i, batch in enumerate(loader):
-            if max_items is not None and i >= max_items:
+            if max_items is not None and seen >= max_items:
                 break
-            # batch size 1 cannot shard over the data axis: replicate
-            # (every host evaluates the same item; values are averaged)
-            x = self._put(batch[-1], replicate=True)
-            vals.append(ll_fn(self.state.params, self.state.batch_stats, x,
-                              jax.random.fold_in(rng, i)))
-        return float(np.mean([float(v) for v in vals]))
+            x = np.asarray(batch[-1])
+            real = x.shape[0]
+            if max_items is not None:
+                real = min(real, max_items - seen)
+            if x.shape[0] < batch_size:   # pad tail to the compiled shape
+                pad = np.broadcast_to(x[:1],
+                                      (batch_size - x.shape[0],) + x.shape[1:])
+                x = np.concatenate([x, pad], axis=0)
+            # small eval batches cannot shard over the data axis: replicate
+            # (every host evaluates the same items; values are averaged)
+            xd = self._put(x, replicate=True)
+            out = ll_jit(self.state.params, self.state.batch_stats, xd,
+                         jax.random.fold_in(rng, i))
+            # keep results on device until the end: a per-call readback
+            # would pay the full host<->chip round-trip every batch
+            vals.append((out, real))
+            seen += real
+        return float(np.mean(np.concatenate(
+            [np.asarray(v)[:r] for v, r in vals])))
