@@ -167,8 +167,6 @@ def main(argv=None):
         results[name] = run(name, args)
 
     lines = [
-        "# BENCHMARKS — BASELINE.json configs on one TPU chip",
-        "",
         f"Backend: {jax.default_backend()}; compute_dtype="
         f"{args.compute_dtype}, steps_per_call={args.steps_per_call}; "
         "spherecube data from the in-repo renderer "
@@ -182,11 +180,26 @@ def main(argv=None):
             f"| {CONFIG_DESCRIPTIONS[name]} | {r['steps']} | "
             f"{r['steps_per_sec']} | {r['recon_first']} | "
             f"{r['recon_last']} | {r['kl_last']} |")
-    lines += ["", "Generated by scripts/run_baseline_configs.py "
-                  "(short smoke-scale runs — throughput numbers are the "
-                  "headline; convergence needs the full schedule lengths)."]
+    table = "\n".join(lines) + "\n"
+
+    # Rewrite only the marked section so the rest of BENCHMARKS.md
+    # (convergence curves, kernel/eval tables, notes) is preserved.
+    begin, end = ("<!-- baseline-sweep:begin -->",
+                  "<!-- baseline-sweep:end -->")
+    block = f"{begin}\n{table}{end}"
+    if os.path.exists(args.out):
+        doc = open(args.out).read()
+        if begin in doc and end in doc:
+            pre = doc.split(begin)[0]
+            post = doc.split(end, 1)[1]
+            doc = pre + block + post
+        else:
+            doc = doc.rstrip() + "\n\n" + block + "\n"
+    else:
+        doc = ("# BENCHMARKS — BASELINE.json configs on one TPU chip\n\n"
+               + block + "\n")
     with open(args.out, "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write(doc)
     print(f"wrote {args.out}")
 
 
