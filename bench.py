@@ -7,7 +7,7 @@ reference's canonical run shape: batch 64, 64x64 RGB, degrees 6, rep_copies
 10, deconv_hidden 200 (lie_vae/experiments/main.py:30-35,166-171).
 
 Production configuration: bfloat16 conv compute (fp32 params/Lie math) and
-lax.scan of 32 steps per dispatch (the framework's steps_per_call feature) —
+lax.scan of SCAN_K steps per dispatch (the framework's steps_per_call feature) —
 per-call host->chip latency through this image's tunneled runtime is ~10ms,
 so single-step dispatch measures the tunnel, not the chip.
 

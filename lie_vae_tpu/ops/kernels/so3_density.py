@@ -22,29 +22,36 @@ from jax.experimental.pallas import tpu as pltpu
 def _density_kernel(v_ref, sigma_ref, shells_ref, out_ref, *, clamp):
     # Transposed layout: samples live on the 128-lane axis, the small
     # algebra (3) / shell (2k+1) axes on sublanes — no lane padding waste.
+    #
+    # Per-shell work is one transcendental (the exp), not three: the
+    # volume denominator is shell-independent (cos(theta + 2 pi j) ==
+    # cos(theta) exactly) so its log factors out of the logsumexp, and the
+    # per-shell log of the clamped numerator is folded into the sum
+    #   logsumexp_j y_j = log sum_j max(th_j^2, c) e^{-q(th_j^2 - m2)/2}
+    #                     - q m2 / 2 - log denom + const
+    # with m2 = min_j th_j^2 providing the max-shift (exponents <= 0, and
+    # the sum >= the clamped m2 term > 0, so no over/underflow).
     v = v_ref[:]                                     # (3, TN)
     sigma = sigma_ref[:]                             # (3, TN)
     shells = shells_ref[:]                           # (2k+1, 1)
 
     theta = jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True))    # (1, TN)
     u = v / jnp.maximum(theta, 1e-12)                          # (3, TN)
-    theta_hat = shells + theta                                 # (2k+1, TN)
 
     # sum_k N(u_k * theta_hat; 0, sigma_k): factored quadratic form
     #   sum_k (u_k theta_hat / sigma_k)^2 = theta_hat^2 * sum_k (u_k/sigma_k)^2
     q = jnp.sum((u / sigma) ** 2, axis=0, keepdims=True)       # (1, TN)
     log_norm = jnp.sum(jnp.log(sigma), axis=0, keepdims=True)  # (1, TN)
-    log_p = (-0.5 * q * theta_hat * theta_hat
-             - log_norm - 1.5 * math.log(2.0 * math.pi))       # (2k+1, TN)
 
-    th_sq = jnp.maximum(theta_hat * theta_hat, clamp)
-    denom = jnp.maximum(2.0 - 2.0 * jnp.cos(theta_hat), clamp)
-    log_vol = jnp.log(th_sq) - jnp.log(denom)
-
-    y = log_p + log_vol
-    m = jnp.max(y, axis=0, keepdims=True)                      # (1, TN)
-    out_ref[:] = m + jnp.log(jnp.sum(jnp.exp(y - m), axis=0,
-                                     keepdims=True))
+    theta_hat = shells + theta                                 # (2k+1, TN)
+    th_sq = theta_hat * theta_hat
+    m2 = jnp.min(th_sq, axis=0, keepdims=True)                 # (1, TN)
+    E = jnp.sum(jnp.maximum(th_sq, clamp)
+                * jnp.exp(-0.5 * q * (th_sq - m2)),
+                axis=0, keepdims=True)                         # (1, TN)
+    denom = jnp.maximum(2.0 - 2.0 * jnp.cos(theta), clamp)     # (1, TN)
+    out_ref[:] = (jnp.log(E) - 0.5 * q * m2 - jnp.log(denom)
+                  - log_norm - 1.5 * math.log(2.0 * math.pi))
 
 
 def _density_bwd_kernel(v_ref, sigma_ref, shells_ref, g_ref,
@@ -65,25 +72,24 @@ def _density_bwd_kernel(v_ref, sigma_ref, shells_ref, g_ref,
     u = v / theta_s
     theta_hat = shells + theta                       # (2k+1, TN)
     q = jnp.sum((u / sigma) ** 2, axis=0, keepdims=True)
-    log_norm = jnp.sum(jnp.log(sigma), axis=0, keepdims=True)
 
+    # shell weights w_j = softmax_j(y_j), computed log-free as in the
+    # forward kernel (the shared -log denom cancels in the softmax)
     th_sq = theta_hat * theta_hat
-    cos_th = jnp.cos(theta_hat)
-    denom = 2.0 - 2.0 * cos_th
-    y = (-0.5 * q * th_sq - log_norm - 1.5 * math.log(2.0 * math.pi)
-         + jnp.log(jnp.maximum(th_sq, clamp))
-         - jnp.log(jnp.maximum(denom, clamp)))
-    m = jnp.max(y, axis=0, keepdims=True)
-    e = jnp.exp(y - m)
+    m2 = jnp.min(th_sq, axis=0, keepdims=True)
+    e = jnp.maximum(th_sq, clamp) * jnp.exp(-0.5 * q * (th_sq - m2))
     w = e / jnp.sum(e, axis=0, keepdims=True)        # (2k+1, TN)
 
-    # dy_j / dtheta_hat_j, with the clamp kill-switches
-    dy_dth = (-q * theta_hat
-              + jnp.where(th_sq > clamp, 2.0 / theta_hat, 0.0)
-              - jnp.where(denom > clamp,
-                          2.0 * jnp.sin(theta_hat)
-                          / jnp.maximum(denom, clamp), 0.0))
-    A = jnp.sum(w * dy_dth, axis=0, keepdims=True)   # (1, TN)
+    # dy_j / dtheta_hat_j, with the clamp kill-switches; the volume
+    # denominator is shell-independent (cos(theta_hat) == cos(theta)), so
+    # its derivative term is a constant across shells (sum_j w_j = 1)
+    denom = 2.0 - 2.0 * jnp.cos(theta)               # (1, TN)
+    A = (jnp.sum(w * (-q * theta_hat
+                      + jnp.where(th_sq > clamp, 2.0 / theta_hat, 0.0)),
+                 axis=0, keepdims=True)
+         - jnp.where(denom > clamp,
+                     2.0 * jnp.sin(theta) / jnp.maximum(denom, clamp),
+                     0.0))                           # (1, TN)
     B = jnp.sum(w * th_sq, axis=0, keepdims=True)    # (1, TN)
 
     sig2 = sigma * sigma

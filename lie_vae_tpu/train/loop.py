@@ -545,7 +545,11 @@ class UnsupervisedExperiment:
         if n_chunk is None:
             n_chunk = n if batch_size == 1 else max(1, min(n, 50))
         chunks = max(1, -(-n // n_chunk))
-        n_eff = chunks * n_chunk     # == n whenever n_chunk divides n
+        n_chunk = -(-n // chunks)    # shrink the chunk so n_eff == n when
+        n_eff = chunks * n_chunk     # chunks divides n (e.g. 500/300->250x2)
+        if n_eff != n:
+            print(f"log_likelihood: n={n} not divisible into {chunks} "
+                  f"chunks; using n={n_eff} importance samples")
 
         def ll_fn(params, bs, x, rng):
             # (cached below: re-jitting per log_likelihood() call would
@@ -594,5 +598,7 @@ class UnsupervisedExperiment:
             # would pay the full host<->chip round-trip every batch
             vals.append((out, real))
             seen += real
+        if not vals:                  # empty dataset / max_items=0
+            return float("nan")
         return float(np.mean(np.concatenate(
             [np.asarray(v)[:r] for v, r in vals])))

@@ -175,17 +175,32 @@ def main(argv=None):
         "| config | steps | steps/s | recon start | recon end | KL end |",
         "|---|---|---|---|---|---|",
     ]
-    for name, r in results.items():
-        lines.append(
-            f"| {CONFIG_DESCRIPTIONS[name]} | {r['steps']} | "
-            f"{r['steps_per_sec']} | {r['recon_first']} | "
-            f"{r['recon_last']} | {r['kl_last']} |")
+    # merge with any previously-published rows so a --configs subset run
+    # does not silently drop the other configs' results
+    begin, end_marker = ("<!-- baseline-sweep:begin -->",
+                         "<!-- baseline-sweep:end -->")
+    old_rows = {}
+    if os.path.exists(args.out):
+        old = open(args.out).read()
+        if begin in old and end_marker in old:
+            for row in old.split(begin)[1].split(end_marker)[0].splitlines():
+                if row.startswith("| ") and not row.startswith("| config"):
+                    old_rows[row.split("|")[1].strip()] = row
+    for name in CONFIG_DESCRIPTIONS:
+        desc = CONFIG_DESCRIPTIONS[name]
+        if name in results:
+            r = results[name]
+            lines.append(
+                f"| {desc} | {r['steps']} | "
+                f"{r['steps_per_sec']} | {r['recon_first']} | "
+                f"{r['recon_last']} | {r['kl_last']} |")
+        elif desc in old_rows:
+            lines.append(old_rows[desc])
     table = "\n".join(lines) + "\n"
 
     # Rewrite only the marked section so the rest of BENCHMARKS.md
     # (convergence curves, kernel/eval tables, notes) is preserved.
-    begin, end = ("<!-- baseline-sweep:begin -->",
-                  "<!-- baseline-sweep:end -->")
+    end = end_marker
     block = f"{begin}\n{table}{end}"
     if os.path.exists(args.out):
         doc = open(args.out).read()
