@@ -23,20 +23,41 @@ from lie_vae_tpu.data import ToyDataset, random_split
 from lie_vae_tpu.models import LieVAE
 from lie_vae_tpu.train import ConstantSchedule, UnsupervisedExperiment
 
-CONFIGS = {
-    "ae-action-s2s2": dict(latent_mode="so3", decoder_mode="action",
-                           mean_mode="s2s2", deterministic=True),
-    "ae-action-alg": dict(latent_mode="so3", decoder_mode="action",
-                          mean_mode="alg", deterministic=True),
-    "ae-action-q": dict(latent_mode="so3", decoder_mode="action",
-                        mean_mode="q", deterministic=True),
-    "ae-action-s2s1": dict(latent_mode="so3", decoder_mode="action",
-                           mean_mode="s2s1", deterministic=True),
-    "ae-mlp-normal": dict(latent_mode="normal", decoder_mode="mlp",
-                          normal_dims=3, deterministic=True),
-    "vae-action-s2s2": dict(latent_mode="so3", decoder_mode="action",
-                            mean_mode="s2s2", deterministic=False),
-}
+# The paper's toy model matrix (toy_results.ipynb cell 4 loads
+# {ae,vae} x {action,mlp} x {q,alg,s2s2,s2s1,normal3,normal30,vmf,vmfq}
+# checkpoints); built programmatically below.
+def _toy_matrix():
+    latents = {
+        "alg": dict(latent_mode="so3", mean_mode="alg"),
+        "q": dict(latent_mode="so3", mean_mode="q"),
+        "s2s1": dict(latent_mode="so3", mean_mode="s2s1"),
+        "s2s2": dict(latent_mode="so3", mean_mode="s2s2"),
+        "normal3": dict(latent_mode="normal", normal_dims=3),
+        "normal30": dict(latent_mode="normal", normal_dims=30),
+        "vmf": dict(latent_mode="vmf"),
+        "vmfq": dict(latent_mode="vmfq"),
+    }
+    configs = {}
+    for kind, deterministic in (("ae", True), ("vae", False)):
+        # action decoder: group latents + the decodable vector latents
+        # (normal -> forced 3 dims -> vector_to_eazyz; vmfq -> quaternion
+        # Euler conversion; plain vmf has no action path, vae.py:180-189)
+        for lname in ("alg", "q", "s2s1", "s2s2", "normal3", "vmfq"):
+            configs[f"{kind}-action-{lname}"] = dict(
+                decoder_mode="action", deterministic=deterministic,
+                **latents[lname])
+        # mlp decoder: everything
+        for lname in ("s2s2", "normal3", "normal30", "vmf", "vmfq"):
+            configs[f"{kind}-mlp-{lname}"] = dict(
+                decoder_mode="mlp", deterministic=deterministic,
+                **latents[lname])
+    return configs
+
+
+CONFIGS = _toy_matrix()
+# the six configs the quick-start exercises, kept as the default subset
+DEFAULT_CONFIGS = ["ae-action-s2s2", "ae-action-alg", "ae-action-q",
+                   "ae-action-s2s1", "ae-mlp-normal3", "vae-action-s2s2"]
 
 
 def run_config(name, cfg, ds, train, valid, args):
@@ -99,8 +120,12 @@ def main(argv=None):
                default=True, help="--no-fixed_spectrum trains learned item representations")
     p.add_argument("--steps_per_call", type=int, default=8)
     p.add_argument("--out_dir", default="analysis_out")
-    p.add_argument("--configs", nargs="*", default=list(CONFIGS))
+    p.add_argument("--configs", nargs="*", default=DEFAULT_CONFIGS,
+                   help="config names, or 'all' for the paper's full "
+                        "{ae,vae} x {action,mlp} x latent matrix")
     args = p.parse_args(argv)
+    if args.configs == ["all"]:
+        args.configs = list(CONFIGS)
 
     os.makedirs(args.out_dir, exist_ok=True)
     ds = ToyDataset.generate(n=args.n_data, degrees=args.degrees,
@@ -118,6 +143,32 @@ def main(argv=None):
     with open(os.path.join(args.out_dir, "results.json"), "w") as f:
         json.dump(all_results, f, indent=2)
     print(f"Wrote {args.out_dir}/results.json")
+
+    # markdown summary table (the notebook's recon + discontinuity view)
+    lines = [
+        "# Toy experiment matrix — recon + encoder discontinuity",
+        "",
+        f"{args.epochs} epochs, degrees={args.degrees}, "
+        f"rep_copies={args.rep_copies}, n={args.n_data}, "
+        f"fixed_spectrum={args.fixed_spectrum}. Discontinuity = per-step "
+        "squared encoding jumps along SO(3) trajectories "
+        "(toy_results.ipynb cells 3+14); outliers = jumps >10x median.",
+        "",
+        "| config | test recon | circle: mean / max / outliers "
+        "| walk: mean / max / outliers |",
+        "|---|---|---|---|",
+    ]
+    for name, r in all_results.items():
+        c = r["discontinuity_circle"]
+        w = r["discontinuity_random_walk"]
+        lines.append(
+            f"| {name} | {r['test_recon']:.3f} "
+            f"| {c['mean']:.3g} / {c['max']:.3g} / {c['num_outliers']} "
+            f"| {w['mean']:.3g} / {w['max']:.3g} / {w['num_outliers']} |")
+    md = os.path.join(args.out_dir, "TOY_RESULTS.md")
+    with open(md, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"Wrote {md}")
 
 
 if __name__ == "__main__":
