@@ -130,6 +130,10 @@ def test_mesh_log_likelihood_batch_one():
         mesh=make_mesh(8, 1))
     ll = exp.log_likelihood(ds, n=10, max_items=2)
     assert np.isfinite(ll)
+    # batched+chunked variant replicates the same way under a mesh
+    ll_b = exp.log_likelihood(ds, n=10, batch_size=4, n_chunk=5,
+                              max_items=6)
+    assert np.isfinite(ll_b)
 
 
 def test_model_axis_sharded_state():
