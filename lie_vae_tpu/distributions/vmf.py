@@ -28,36 +28,63 @@ from flax import struct
 from jax.scipy.special import i0e, i1e
 
 
-def ive(v, z):
-    """Exponentially scaled modified Bessel I_v(z) * exp(-z) for z > 0.
+def _ive_series(v, z, terms=10):
+    """I_v(z) e^{-z} via the ascending series — exact as z -> 0, where the
+    upward recurrence catastrophically cancels in float32.
 
-    v must be a static non-negative integer or half-integer.
+    I_v(z) = (z/2)^v sum_k (z^2/4)^k / (k! Gamma(v+k+1)); with 10 terms the
+    truncation error at z=1 is below float32 resolution.
     """
+    vf = float(v)
+    zz = 0.25 * z * z
+    coef = 1.0 / math.gamma(vf + 1.0)
+    acc = jnp.full_like(z, coef)
+    pow_zz = jnp.ones_like(z)
+    for k in range(1, terms):
+        coef /= k * (vf + k)
+        pow_zz = pow_zz * zz
+        acc = acc + coef * pow_zz
+    return jnp.exp(-z) * (0.5 * z) ** vf * acc
+
+
+def ive(v, z):
+    """Exponentially scaled modified Bessel I_v(z) * exp(-z) for z >= 0.
+
+    v must be a static non-negative integer or half-integer. For z < 1 the
+    ascending series is used (the upward recurrence I_{v+1} = I_{v-1} -
+    (2v/z) I_v cancels catastrophically there — it returned wrong-sign
+    values for v >= 2 at z <~ 1e-3 in float32).
+    """
+    z = jnp.asarray(z)
+    small = z < 1.0
+    zs = jnp.where(small, 1.0, z)   # keep the unused branch finite (1/z)
+
     if float(v) == int(v):
         orders = int(v)
-        prev, cur = i0e(z), i1e(z)   # I_0 e^-z, I_1 e^-z
-        if orders == 0:
-            return prev
+        prev, cur = i0e(zs), i1e(zs)   # I_0 e^-z, I_1 e^-z
+        rec = prev if orders == 0 else None
         for n in range(1, orders):
-            prev, cur = cur, prev - (2.0 * n / z) * cur
-        return cur
+            prev, cur = cur, prev - (2.0 * n / zs) * cur
+        if rec is None:
+            rec = cur
+        return jnp.where(small, _ive_series(v, z), rec)
     # half-integer: I_{1/2} = sqrt(2/(pi z)) sinh z;
     # I_{3/2} = sqrt(2/(pi z)) (cosh z - sinh z / z); then upward recurrence.
     if (float(v) * 2) != int(float(v) * 2):
         raise ValueError("ive supports integer and half-integer orders only")
     # scaled: sinh(z) e^-z = (1 - e^-2z)/2 ; cosh(z) e^-z = (1 + e^-2z)/2
-    pref = jnp.sqrt(2.0 / (math.pi * z))
-    sinh_s = 0.5 * (1.0 - jnp.exp(-2.0 * z))
-    cosh_s = 0.5 * (1.0 + jnp.exp(-2.0 * z))
+    pref = jnp.sqrt(2.0 / (math.pi * zs))
+    sinh_s = 0.5 * (1.0 - jnp.exp(-2.0 * zs))
+    cosh_s = 0.5 * (1.0 + jnp.exp(-2.0 * zs))
     prev = pref * sinh_s                       # order 1/2
     if float(v) == 0.5:
-        return prev
-    cur = pref * (cosh_s - sinh_s / z)         # order 3/2
+        return jnp.where(small, _ive_series(v, z), prev)
+    cur = pref * (cosh_s - sinh_s / zs)        # order 3/2
     order = 1.5
     while order < float(v):
-        prev, cur = cur, prev - (2.0 * order / z) * cur
+        prev, cur = cur, prev - (2.0 * order / zs) * cur
         order += 1.0
-    return cur
+    return jnp.where(small, _ive_series(v, z), cur)
 
 
 def log_ive(v, z):

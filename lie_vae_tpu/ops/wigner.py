@@ -274,6 +274,9 @@ def block_wigner_matrix_multiply(angles, spectrum, max_degree,
     Reference: block_wigner_matrix_multiply, lie_vae/lie_tools.py:226-253
     (a Python loop of per-degree bmm's).
     """
+    if impl not in ("zjz", "xla", "auto", "dense", "pallas"):
+        raise ValueError(f"unknown wigner impl {impl!r} (expected 'zjz', "
+                         "'dense', 'pallas', 'auto', or 'xla')")
     if impl in ("zjz", "xla", "auto"):
         return block_wigner_apply_zjz(angles, spectrum, max_degree,
                                       transpose=transpose)

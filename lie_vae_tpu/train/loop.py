@@ -333,9 +333,12 @@ class UnsupervisedExperiment:
         (recon, kl, *kls) means. Reference: unsupervised.py:58-67."""
         results = []
         rng = jax.random.PRNGKey(0)
-        dsize = (dict(zip(self.mesh.axis_names,
-                          self.mesh.devices.shape))["data"]
-                 if self.mesh is not None else 1)
+        dsize = self.mesh.shape["data"] if self.mesh is not None else 1
+        # multi-host: the loader yields the process-LOCAL shard but _put()
+        # assembles the GLOBAL batch, so the in-step valid count is the
+        # global one (sharded loaders drop ragged tails, so every process
+        # contributes the same number of rows and no padding occurs)
+        n_proc = jax.process_count()
 
         if self._device_test is not None:
             data, factor = self._device_test
@@ -355,8 +358,8 @@ class UnsupervisedExperiment:
 
         for i, batch in enumerate(self.test_loader):
             xb = np.asarray(batch[-1])
-            n_valid = xb.shape[0]
-            pad = (-n_valid) % dsize
+            n_valid = xb.shape[0] * n_proc       # global valid count
+            pad = (-xb.shape[0]) % dsize
             if pad:   # ragged tail: pad to the data-axis size, mask in-step
                 xb = np.concatenate([xb, np.repeat(xb[-1:], pad, 0)], 0)
             x = self._put(xb)
@@ -365,6 +368,9 @@ class UnsupervisedExperiment:
                                        jnp.int32(n_valid),
                                        jax.random.fold_in(rng, i))
             results.append(jnp.stack((r, k, *ks)))   # async device scalars
+        if not results:   # e.g. multi-host with test set < one global batch
+            print("test(): evaluation loader produced no batches")
+            return np.full(2, np.nan)
         # one device->host transfer for the whole pass (each float() of a
         # device scalar would cost a full round-trip through the runtime)
         return np.mean(np.asarray(jnp.stack(results)), axis=0)

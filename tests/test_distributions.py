@@ -196,6 +196,18 @@ def test_ive_matches_scipy():
         np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-12)
 
 
+def test_ive_small_z_stable():
+    """Regression: the upward recurrence cancels catastrophically below
+    z~1e-2 (wrong sign for v>=2); the series branch must be accurate and
+    positive down to z=0, across the branch switch at z=1."""
+    z = np.array([0.0, 1e-6, 1e-4, 1e-3, 1e-2, 0.1, 0.5, 0.999, 1.001, 2.0])
+    for v in (0, 1, 2, 3, 0.5, 1.5, 2.5):
+        ours = np.asarray(dist.ive(v, jnp.asarray(z)))
+        ref = sps.ive(v, z)
+        np.testing.assert_allclose(ours, ref, rtol=2e-5, atol=1e-37)
+        assert (ours[1:] > 0).all()
+
+
 @pytest.mark.parametrize("p", [3, 4, 5])
 def test_vmf_samples_on_sphere(key, p):
     k1, k2 = jax.random.split(key)
