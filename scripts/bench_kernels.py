@@ -32,7 +32,7 @@ from lie_vae_tpu.ops.kernels import (
 HBM_GBPS = 819.0  # v5e
 
 
-def timeit(f, *args, scan_k=64, n=3):
+def timeit(f, *args, scan_k=128, n=3):
     """Per-call milliseconds of f(*args) on chip, dispatch amortized away."""
 
     def run(*xs):
@@ -71,7 +71,8 @@ def main():
         spec = jax.random.normal(k2, (B, 49, 10), dtype=jnp.float32)
         sol = sol_ms(2 * B * 49 * 10 * 4 + B * 3 * 4)
         t_xla = timeit(
-            lambda a, s: ops.block_wigner_matrix_multiply(a, s, 6),
+            lambda a, s: ops.block_wigner_matrix_multiply(
+                a, s, 6, impl="dense"),
             angles, spec)
         t_pl = timeit(
             lambda a, s: block_wigner_matrix_multiply_pallas(
@@ -84,7 +85,7 @@ def main():
         t_zjz = timeit(
             lambda a, s: ops.block_wigner_apply_zjz(a, s, 6),
             angles, spec)
-        print(f"B={B:6d}: xla {t_xla:7.3f} ms | pallas(b8) {t_pl:7.3f} ms "
+        print(f"B={B:6d}: dense {t_xla:7.3f} ms | pallas(b8) {t_pl:7.3f} ms "
               f"| pallas(b32) {t_pl32:7.3f} ms | zjz {t_zjz:7.3f} ms "
               f"| HBM-SoL {sol:7.3f} ms")
 
@@ -96,16 +97,17 @@ def main():
         spec = jax.random.normal(k2, (B, 121, 16), dtype=jnp.float32)
         sol = sol_ms(2 * B * 121 * 16 * 4 + B * 3 * 4)
         t_xla = timeit(
-            lambda a, s: ops.block_wigner_matrix_multiply(a, s, 10),
-            angles, spec, scan_k=32)
+            lambda a, s: ops.block_wigner_matrix_multiply(
+                a, s, 10, impl="dense"),
+            angles, spec)
         t_pl = timeit(
             lambda a, s: block_wigner_matrix_multiply_pallas(
                 a, s, 10, block_b=16, interpret=False),
-            angles, spec, scan_k=32)
+            angles, spec)
         t_zjz = timeit(
             lambda a, s: ops.block_wigner_apply_zjz(a, s, 10),
-            angles, spec, scan_k=32)
-        print(f"B={B:6d}: xla {t_xla:7.3f} ms | pallas(b16) {t_pl:7.3f} ms "
+            angles, spec)
+        print(f"B={B:6d}: dense {t_xla:7.3f} ms | pallas(b16) {t_pl:7.3f} ms "
               f"| zjz {t_zjz:7.3f} ms | HBM-SoL {sol:7.3f} ms")
 
     print("== wrapped log-density (k=10) ==")
