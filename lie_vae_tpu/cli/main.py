@@ -29,9 +29,13 @@ def build_dataset(args):
     batch_size = 64
     item_rep = None
     if args.dataset == "spherecube":
-        dataset = SphereCubeDataset(subsample=args.subsample)
+        dataset = SphereCubeDataset(subsample=args.subsample,
+                                    **({"directory": args.data_dir}
+                                       if args.data_dir else {}))
     elif args.dataset == "sc-pairs":
-        dataset = ScPairsDataset(subsample=args.subsample)
+        dataset = ScPairsDataset(subsample=args.subsample,
+                                 **({"directory": args.data_dir}
+                                    if args.data_dir else {}))
         batch_size = 32
     elif args.dataset == "toy":
         if not os.path.exists(args.toy_path):
@@ -207,6 +211,10 @@ def parse_args(argv=None):
                         default=20000)
     parser.add_argument("--max_early_stop", type=int, default=50)
     parser.add_argument("--subsample", type=float, default=1.0)
+    parser.add_argument("--data_dir", default=None,
+                        help="override the image-dataset directory "
+                             "(default: the reference's data/spherecube / "
+                             "data/sc-pairs)")
     parser.add_argument("--normal_dims", type=int, default=3)
     parser.add_argument("--deterministic", action="store_true")
     parser.add_argument("--wigner_transpose", action="store_true")

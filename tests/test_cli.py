@@ -64,3 +64,27 @@ def test_cwd_config_overrides_package(tmp_path, monkeypatch):
         f.write("control: 55\n")
     args = parse_args(["--config", "klx"])
     assert args.control == 55
+
+
+def test_data_dir_override(tmp_path):
+    """--data_dir reroutes the image datasets; default keeps the
+    reference's data/spherecube path."""
+    import numpy as np
+    from PIL import Image
+    from lie_vae_tpu.cli.main import build_dataset
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(4):
+        q = rng.randn(4)
+        q /= np.linalg.norm(q)
+        name = "{:06d}_0_{:.4f}_{:.4f}_{:.4f}_{:.4f}.png".format(i, *q)
+        Image.fromarray((rng.rand(8, 8, 3) * 255).astype("uint8")).save(
+            str(d / name))
+    args = parse_args(["--dataset", "spherecube", "--data_dir", str(d)])
+    ds, batch_size, _ = build_dataset(args)
+    assert len(ds) == 4
+    assert batch_size == 64
+    name, g, img = ds[0]
+    assert g.shape == (3, 3) and img.shape == (8, 8, 3)
