@@ -56,8 +56,12 @@ def toy_inputs_for_trajectory(traj, harmonics, degrees):
 
 
 def encode_dataset(model, variables, xs, batch_size=256):
-    """Deterministic encodings (first reparameterizer, mean path) for an
-    array of inputs; returns flattened (N, D) numpy."""
+    """Mean-path encodings (first reparameterizer) for an array of inputs;
+    returns flattened (N, D) numpy. The model is cloned with
+    deterministic=True so stochastic configs contribute their posterior
+    means, not one noisy sample (sampling noise would pollute the
+    discontinuity statistics)."""
+    model = model.clone(deterministic=True)
     outs = []
     for i in range(0, len(xs), batch_size):
         stats = model.apply(variables, jnp.asarray(xs[i:i + batch_size]),
@@ -94,7 +98,10 @@ def pca(x, n_components=2):
 
 
 def reconstruction_error(model, variables, xs, batch_size=256):
-    """Mean per-example recon loss under the deterministic path."""
+    """Mean per-example recon loss under the deterministic (mean) path —
+    the model is cloned with deterministic=True so stochastic configs are
+    evaluated at their posterior means."""
+    model = model.clone(deterministic=True)
     errs = []
     for i in range(0, len(xs), batch_size):
         x = jnp.asarray(xs[i:i + batch_size])

@@ -17,6 +17,16 @@ from lie_vae_tpu import ops
 from lie_vae_tpu.models.nets import Dense, uniform_init
 
 
+# Floor on every softplus sigma head. The reference's bare softplus
+# (reparameterize.py:26,116) underflows to 0 in f32 for logits < -90, which
+# makes the wrapped/Gaussian log-density -inf (NaN under grad) and kills the
+# run via the NaN-KL guard — observed in practice ~18k steps into a
+# spherecube run. jnp.maximum is bit-exact for every sigma above the floor,
+# so healthy training is unchanged; at the floor the KL blows up smoothly
+# (finite grads) and the global-norm clip keeps the step bounded.
+_SIGMA_FLOOR = 1e-6
+
+
 class NormalReparameterize(nn.Module):
     """Diagonal Gaussian head. Reference: Nreparameterize,
     lie_vae/reparameterize.py:16-55 (mu linear + softplus sigma linear)."""
@@ -26,7 +36,8 @@ class NormalReparameterize(nn.Module):
     @nn.compact
     def __call__(self, h, n=1):
         mu = Dense(self.z_dim, name="mu")(h)
-        sigma = nn.softplus(Dense(self.z_dim, name="sigma")(h))
+        sigma = jnp.maximum(nn.softplus(Dense(self.z_dim, name="sigma")(h)),
+                            _SIGMA_FLOOR)
         key = self.make_rng("sample") if not self.deterministic else None
         return dist.sample_gaussian(key, mu, sigma, n=n,
                                     deterministic=self.deterministic)
@@ -46,7 +57,9 @@ class N0Reparameterize(nn.Module):
             sigma = jnp.full((h.shape[0], self.z_dim), self.fixed_sigma,
                              dtype=h.dtype)
         else:
-            sigma = nn.softplus(Dense(self.z_dim, name="sigma")(h))
+            sigma = jnp.maximum(
+                nn.softplus(Dense(self.z_dim, name="sigma")(h)),
+                _SIGMA_FLOOR)
         key = self.make_rng("sample") if not self.deterministic else None
         return dist.sample_zero_mean_gaussian(
             key, sigma, n=n, deterministic=self.deterministic)
@@ -143,7 +156,8 @@ class SO3Reparameterize(nn.Module):
         if self.fixed_sigma is not None:
             sigma = jnp.full((h.shape[0], 3), self.fixed_sigma, dtype=h.dtype)
         else:
-            sigma = nn.softplus(Dense(3, name="sigma")(h))
+            sigma = jnp.maximum(nn.softplus(Dense(3, name="sigma")(h)),
+                                _SIGMA_FLOOR)
         key = self.make_rng("sample") if not self.deterministic else None
         return dist.sample_so3(key, mu_lie, sigma, n=n, k=self.k,
                                deterministic=self.deterministic,

@@ -106,7 +106,9 @@ def logmap(R):
     cos_t = jnp.clip(0.5 * (tr - 1.0), -1.0 + 1e-7, 1.0 - 1e-7)
     theta = jnp.arccos(cos_t)
     t2 = theta * theta
-    small = t2 < _SMALL
+    # the cos clip floors theta at arccos(1-1e-7) ~ 4.5e-4, so the Taylor
+    # threshold must sit ABOVE that floor or the branch is unreachable
+    small = t2 < 4e-6
     ts = jnp.where(small, 1.0, theta)
     # theta / sin(theta) ~ 1 + t^2/6 + 7 t^4 / 360
     coef = jnp.where(small, 1.0 + t2 / 6.0 + 7.0 * t2 * t2 / 360.0,

@@ -41,6 +41,9 @@ def make_mesh(n_data=None, n_model=1, devices=None):
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
         n_data = len(devices) // n_model
+    assert n_data >= 1 and n_model >= 1, (
+        f"mesh {n_data}x{n_model} is empty — n_model={n_model} exceeds "
+        f"the {len(devices)} available devices?")
     use = n_data * n_model
     assert use <= len(devices), (
         f"mesh {n_data}x{n_model} needs {use} devices, have {len(devices)}")
@@ -78,11 +81,6 @@ def shard_state(state, mesh):
     moments) per param_shardings, everything else replicated."""
     p_sh = param_shardings(state.params, mesh)
     replicated = NamedSharding(mesh, P())
-
-    def opt_rule(x):
-        # optimizer state entries that mirror a param tree get its sharding
-        return replicated
-
     params = jax.device_put(state.params, p_sh)
 
     # Adam moments have the same tree structure as params; map them too.

@@ -173,3 +173,23 @@ def test_jit_compatibility(key):
     out = jax.jit(lambda x: ops.group_matrix_to_eazyz(ops.expmap(x)))(v)
     assert out.shape == (16, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_logmap_taylor_branch_reachable():
+    """Regression: the cos clip floors theta at ~4.5e-4, so the Taylor
+    branch threshold must exceed it; near-identity logs stay exact."""
+    import jax.numpy as jnp
+    from lie_vae_tpu import ops
+
+    v = jnp.asarray([[1e-4, -2e-4, 1.5e-4], [0.0, 0.0, 0.0]])
+    R = ops.rodrigues(v)
+    X = ops.logmap(R)
+    back = ops.vee(X)
+    # the cos clip bounds attainable accuracy near the identity to ~theta
+    # resolution of arccos in f32 (~5e-4)
+    assert float(jnp.max(jnp.abs(back - v))) < 5e-4
+    assert jnp.isfinite(X).all()
+    # gradient must be finite through the near-identity branch
+    import jax
+    g = jax.grad(lambda vv: jnp.sum(ops.logmap(ops.rodrigues(vv))))(v)
+    assert jnp.isfinite(g).all()
