@@ -73,6 +73,11 @@ class MLPDecoder(nn.Module):
     def __call__(self, x, content=None):
         matrix_dims = (self.degrees + 1) ** 2
         x = x.reshape(x.shape[0], -1)
+        # in_dims sizes the first Linear in the reference (decoders.py:80);
+        # flax infers it, so enforce it as the latent-width contract instead
+        assert x.shape[-1] == self.in_dims, (
+            f"MLPDecoder configured for in_dims={self.in_dims} but got a "
+            f"flattened latent of width {x.shape[-1]}")
         out = MLP(matrix_dims * self.rep_copies, self.hidden_dims,
                   self.layers, self.activation, dtype=self.dtype)(x)
         if self.deconv is None:

@@ -57,6 +57,9 @@ class N0Reparameterize(nn.Module):
             sigma = jnp.full((h.shape[0], self.z_dim), self.fixed_sigma,
                              dtype=h.dtype)
         else:
+            # NB: SO3Reparameterize carries its own copy of this head (it
+            # cannot nest this module without renaming checkpoint paths) —
+            # keep the two in sync
             sigma = jnp.maximum(
                 nn.softplus(Dense(self.z_dim, name="sigma")(h)),
                 _SIGMA_FLOOR)
@@ -156,6 +159,9 @@ class SO3Reparameterize(nn.Module):
         if self.fixed_sigma is not None:
             sigma = jnp.full((h.shape[0], 3), self.fixed_sigma, dtype=h.dtype)
         else:
+            # same head as N0Reparameterize (the reference wraps N0 inside
+            # SO3, reparameterize.py:200-215; nesting the module here would
+            # rename the checkpoint parameter paths) — keep in sync
             sigma = jnp.maximum(nn.softplus(Dense(3, name="sigma")(h)),
                                 _SIGMA_FLOOR)
         key = self.make_rng("sample") if not self.deterministic else None

@@ -167,19 +167,12 @@ def wigner_d_matrix(angles, degree, dtype=None):
     dtype = dtype or angles.dtype
 
     l = degree
-    J = j_matrix(l)
     dim = 2 * l + 1
-    if l == 0:
-        C_np = np.ones((1, 1, 1), dtype=np.float64)
-    else:
-        C_np = np.zeros((2 * l + 1, dim, dim), dtype=np.float64)
-        for c in range(dim):
-            fc = l - c
-            m = abs(fc)
-            C_np[m] += np.outer(J[:, c], J[c, :])
-            if fc != 0:
-                C_np[l + m] += -np.sign(fc) * np.outer(J[:, 2 * l - c], J[c, :])
-    C = jnp.asarray(C_np, dtype=dtype)
+    # the single-degree coefficients are the degree-l diagonal block of the
+    # packed tensor (same m-basis when max_degree == l) — reuse the cached
+    # derivation in _coeffs instead of duplicating it
+    o = l * l
+    C = jnp.asarray(_coeffs(l)[2][:, o:o + dim, o:o + dim], dtype=dtype)
     freqs = jnp.arange(l, -l - 1, -1, dtype=dtype)
     rev = jnp.arange(dim - 1, -1, -1)
 
