@@ -1,7 +1,7 @@
 """Host-side scalar schedules and the named beta-schedule presets.
 
 Reference: ConstantSchedule/LinearSchedule (lie_vae/experiments/utils.py:54-72)
-and get_beta_schedule's 24 named presets (lie_vae/experiments/beta_schedule.py).
+and get_beta_schedule's 25 named presets ('a'..'z', no 't') (lie_vae/experiments/beta_schedule.py).
 Schedules run on host; the resulting scalar is fed into the jitted step as an
 argument, so schedule changes never trigger recompilation.
 """

@@ -1,0 +1,165 @@
+"""Train the paper's latent-space comparison matrix on spherecube images.
+
+The homeomorphic-VAE paper's image evaluation compares latent manifolds
+(N(0,I) Euclidean, von Mises-Fisher on S^3, SO(3) with each mean
+parameterization) and decoders (group-action vs MLP) on the sphere-cube
+dataset, reporting reconstruction + importance-sampled log-likelihood
+(reference instrumentations: unsupervised.py:122-156 recon/KL,
+main.py:134-143 the n=500 IW-LL appended to ll.txt).
+
+This driver runs each config through the real CLI entry point
+(lie_vae_tpu.cli.main — same code path a user runs), with the reference's
+early-stopping policy, and writes a results table into BENCHMARKS.md
+between `latent-matrix` markers.
+
+The vmf+action combination is excluded: in the reference it is
+unbuildable/broken (decode routes latent_mode 'vmf' through
+vector_to_eazyz, vae.py:180, which asserts a 3-vector while Sreparameterize
+emits 4) — only vmfq (quaternion interpretation of S^3) supports the
+action decoder. Same constraint here.
+
+Usage:
+  python scripts/run_latent_matrix.py [--configs so3-s2s2-action ...]
+      [--epochs 600] [--data_dir data/spherecube-8k] [--n_images 8192]
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# config name -> extra CLI argv (on top of the shared spherecube settings)
+CONFIGS = {
+    "normal3-action": ["--latent_mode", "normal", "--normal_dims", "3",
+                       "--decoder_mode", "action"],
+    "normal30-mlp": ["--latent_mode", "normal", "--normal_dims", "30",
+                     "--decoder_mode", "mlp"],
+    "vmf-mlp": ["--latent_mode", "vmf", "--decoder_mode", "mlp"],
+    "vmfq-action": ["--latent_mode", "vmfq", "--decoder_mode", "action"],
+    "so3-alg-action": ["--latent_mode", "so3", "--mean_mode", "alg",
+                       "--decoder_mode", "action"],
+    "so3-q-action": ["--latent_mode", "so3", "--mean_mode", "q",
+                     "--decoder_mode", "action"],
+    "so3-s2s1-action": ["--latent_mode", "so3", "--mean_mode", "s2s1",
+                        "--decoder_mode", "action"],
+    "so3-s2s2-action": ["--latent_mode", "so3", "--mean_mode", "s2s2",
+                        "--decoder_mode", "action"],
+    "so3-s2s2-mlp": ["--latent_mode", "so3", "--mean_mode", "s2s2",
+                     "--decoder_mode", "mlp"],
+}
+
+DESCRIPTIONS = {
+    "normal3-action": "N(0,I) R^3 latent, action decoder",
+    "normal30-mlp": "N(0,I) R^30 latent, MLP decoder",
+    "vmf-mlp": "vMF S^3 latent, MLP decoder",
+    "vmfq-action": "vMF S^3 latent (quaternion), action decoder",
+    "so3-alg-action": "SO(3) latent, algebra mean, action decoder",
+    "so3-q-action": "SO(3) latent, quaternion mean, action decoder",
+    "so3-s2s1-action": "SO(3) latent, s2s1 mean, action decoder",
+    "so3-s2s2-action": "SO(3) latent, s2s2 mean, action decoder",
+    "so3-s2s2-mlp": "SO(3) latent, s2s2 mean, MLP decoder",
+}
+
+BEGIN, END = "<!-- latent-matrix:begin -->", "<!-- latent-matrix:end -->"
+
+
+def ensure_data(data_dir, n_images):
+    from lie_vae_tpu.cli.gen_spherecube import generate
+    if os.path.isdir(data_dir) and len(os.listdir(data_dir)) >= n_images:
+        return
+    print(f"rendering {n_images} spherecube images into {data_dir} ...")
+    generate(n_images, data_dir, step_size=0.1, pairs=False)
+
+
+def run_config(name, args):
+    from lie_vae_tpu.cli import main as cli_main
+
+    argv = [
+        "--dataset", "spherecube", "--data_dir", args.data_dir,
+        "--beta", "1", "--epochs", str(args.epochs),
+        "--report_freq", str(args.report_freq),
+        "--steps_per_call", str(args.steps_per_call),
+        "--compute_dtype", args.compute_dtype,
+        "--max_early_stop", str(args.max_early_stop),
+        "--ll_batch", "16", "--ll_chunk", "50",
+        "--name", f"matrix-{name}",
+        "--log_dir", os.path.join(args.out_dir, name),
+        "--save_dir", os.path.join(args.out_dir, name),
+    ] + CONFIGS[name]
+    exp = cli_main.main(argv)
+
+    ll = None
+    if os.path.exists("ll.txt"):
+        for line in open("ll.txt"):
+            if line.startswith(f"matrix-{name} :"):
+                ll = float(line.split(":")[1])
+    return {"best_recon": float(exp.best_value), "ll": ll}
+
+
+def write_table(results, args):
+    lines = [
+        f"Spherecube ({args.n_images} in-repo renders), batch 64, beta=1, "
+        f"lr 1e-3, clip 1e-5, early stop {args.max_early_stop} stale "
+        f"epochs (cap {args.epochs}); compute_dtype={args.compute_dtype}. "
+        "LL = importance-sampled test log-likelihood, n=500 "
+        "(the reference's final eval, main.py:134-143). Driven through "
+        "`lie_vae_tpu.cli.main` by `scripts/run_latent_matrix.py`.",
+        "",
+        "| latent space / decoder | best test recon | test LL (n=500) |",
+        "|---|---|---|",
+    ]
+    old_rows = {}
+    if os.path.exists(args.out):
+        doc = open(args.out).read()
+        if BEGIN in doc and END in doc:
+            for row in doc.split(BEGIN)[1].split(END)[0].splitlines():
+                if row.startswith("| ") and not row.startswith("| latent"):
+                    old_rows[row.split("|")[1].strip()] = row
+    for name, desc in DESCRIPTIONS.items():
+        if name in results:
+            r = results[name]
+            ll = f"{r['ll']:.1f}" if r["ll"] is not None else "—"
+            lines.append(f"| {desc} | {r['best_recon']:.2f} | {ll} |")
+        elif desc in old_rows:
+            lines.append(old_rows[desc])
+    block = f"{BEGIN}\n" + "\n".join(lines) + f"\n{END}"
+
+    if os.path.exists(args.out):
+        doc = open(args.out).read()
+        if BEGIN in doc and END in doc:
+            doc = doc.split(BEGIN)[0] + block + doc.split(END, 1)[1]
+        else:
+            doc = doc.rstrip() + "\n\n## Latent-space matrix (spherecube)\n\n" \
+                + block + "\n"
+    else:
+        doc = "# Latent-space matrix\n\n" + block + "\n"
+    with open(args.out, "w") as f:
+        f.write(doc)
+    print(f"wrote {args.out}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(__doc__)
+    p.add_argument("--configs", nargs="*", default=list(CONFIGS))
+    p.add_argument("--data_dir", default="data/spherecube-8k")
+    p.add_argument("--n_images", type=int, default=8192)
+    p.add_argument("--epochs", type=int, default=600)
+    p.add_argument("--max_early_stop", type=int, default=50)
+    p.add_argument("--report_freq", type=int, default=500)
+    p.add_argument("--steps_per_call", type=int, default=19)
+    p.add_argument("--compute_dtype", default="bfloat16")
+    p.add_argument("--out", default="BENCHMARKS.md")
+    p.add_argument("--out_dir", default="runs/latent-matrix")
+    args = p.parse_args(argv)
+
+    ensure_data(args.data_dir, args.n_images)
+    results = {}
+    for name in args.configs:
+        print(f"=== {name}: {DESCRIPTIONS[name]} ===")
+        results[name] = run_config(name, args)
+        print(name, results[name])
+        write_table(results, args)   # update incrementally per config
+
+
+if __name__ == "__main__":
+    main()
