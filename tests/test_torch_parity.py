@@ -1,0 +1,412 @@
+"""Golden parity against the actual PyTorch reference implementation.
+
+BASELINE.md's parity target is "encoder/decoder/KL outputs match the
+reference to fp32 tolerance". The other test files pin behavior against
+independent numpy/scipy oracles; this one closes the loop by importing the
+reference package itself from /root/reference (read-only) and comparing
+outputs directly:
+
+- the reference's external deps are stubbed: lie_learn's Pinchon-Hoggan
+  ``Jd`` tables are replaced with this repo's independently *generated*
+  tables (ops/jd_tables.npz, themselves validated against a scipy oracle
+  in test_wigner.py), and hyperspherical_vae_pytorch with an inert stub
+  (only needed at import time, reparameterize.py:13);
+- weights are transplanted layer-by-layer (torch Conv2d (O,I,kh,kw) ->
+  flax HWIO; torch ConvTranspose2d (I,O,kh,kw) -> spatial flip + HWIO —
+  both mappings verified exact here);
+- images are NCHW in torch and NHWC here.
+
+Skipped automatically when /root/reference is not present.
+"""
+import math
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+REFERENCE = "/root/reference"
+
+torch = pytest.importorskip("torch")
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REFERENCE, "lie_vae")),
+    reason="reference checkout not available")
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def _install_stubs():
+    """Stub the reference's external deps before importing it."""
+    if "lie_learn.representations.SO3.pinchon_hoggan." \
+       "pinchon_hoggan_dense" in sys.modules:
+        return
+    tables = np.load(os.path.join(_HERE, "..", "lie_vae_tpu", "ops",
+                                  "jd_tables.npz"))
+    Jd = [tables[f"J{l}"].astype(np.float64)
+          for l in range(int(tables["lmax"]) + 1)]
+
+    names = ["lie_learn", "lie_learn.representations",
+             "lie_learn.representations.SO3",
+             "lie_learn.representations.SO3.pinchon_hoggan",
+             "lie_learn.representations.SO3.pinchon_hoggan."
+             "pinchon_hoggan_dense"]
+    for name in names:
+        mod = types.ModuleType(name)
+        sys.modules[name] = mod
+    sys.modules[names[-1]].Jd = Jd
+
+    hs = types.ModuleType("hyperspherical_vae_pytorch")
+    hs_d = types.ModuleType("hyperspherical_vae_pytorch.distributions")
+
+    class _Unused:  # pragma: no cover - import-time stub only
+        def __init__(self, *a, **k):
+            raise NotImplementedError("vmf stub")
+
+    hs_d.VonMisesFisher = _Unused
+    hs_d.HypersphericalUniform = _Unused
+    sys.modules["hyperspherical_vae_pytorch"] = hs
+    sys.modules["hyperspherical_vae_pytorch.distributions"] = hs_d
+
+
+@pytest.fixture(scope="module")
+def ref():
+    _install_stubs()
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    import lie_vae.lie_tools as lie_tools
+    import lie_vae.reparameterize as reparameterize
+    from lie_vae.experiments import vae as vae_mod
+    return types.SimpleNamespace(lie_tools=lie_tools,
+                                 reparameterize=reparameterize,
+                                 vae=vae_mod)
+
+
+def t2n(x):
+    return x.detach().cpu().numpy()
+
+
+def _rand_rotations(rng, n):
+    from lie_vae_tpu import ops
+    q = rng.normal(size=(n, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    return np.asarray(ops.quaternions_to_group_matrix(jnp.asarray(q)),
+                      np.float32)
+
+
+# --------------------------------------------------------------- lie_tools
+
+def test_lie_tools_parity(ref):
+    from lie_vae_tpu import ops
+    lt = ref.lie_tools
+    rng = np.random.default_rng(0)
+    v = rng.normal(size=(32, 3)).astype(np.float32)
+    vt = torch.tensor(v)
+
+    np.testing.assert_allclose(
+        np.asarray(ops.hat(jnp.asarray(v))), t2n(lt.map_to_lie_algebra(vt)),
+        atol=1e-7)
+    X = np.asarray(ops.hat(jnp.asarray(v)))
+    np.testing.assert_allclose(
+        np.asarray(ops.vee(jnp.asarray(X))),
+        t2n(lt.map_to_lie_vector(torch.tensor(X))), atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(ops.rodrigues(jnp.asarray(v))), t2n(lt.rodrigues(vt)),
+        atol=1e-6)
+
+    s2 = rng.normal(size=(32, 3)).astype(np.float32)
+    s2 /= np.linalg.norm(s2, axis=-1, keepdims=True)
+    s1 = rng.normal(size=(32, 2)).astype(np.float32)
+    s1 /= np.linalg.norm(s1, axis=-1, keepdims=True)
+    np.testing.assert_allclose(
+        np.asarray(ops.s2s1rodrigues(jnp.asarray(s2), jnp.asarray(s1))),
+        t2n(lt.s2s1rodrigues(torch.tensor(s2), torch.tensor(s1))), atol=1e-6)
+
+    v1 = rng.normal(size=(32, 3)).astype(np.float32) * 5
+    v2 = rng.normal(size=(32, 3)).astype(np.float32) * 5
+    np.testing.assert_allclose(
+        np.asarray(ops.s2s2_gram_schmidt(jnp.asarray(v1), jnp.asarray(v2))),
+        t2n(lt.s2s2_gram_schmidt(torch.tensor(v1), torch.tensor(v2))),
+        atol=1e-5)
+
+    np.testing.assert_allclose(
+        np.asarray(ops.vector_to_eazyz(jnp.asarray(v))),
+        t2n(lt.vector_to_eazyz(vt)), atol=1e-6)
+
+    r = _rand_rotations(rng, 32)
+    rt = torch.tensor(r)
+    np.testing.assert_allclose(
+        np.asarray(ops.group_matrix_to_quaternions(jnp.asarray(r))),
+        t2n(lt.group_matrix_to_quaternions(rt)), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(ops.group_matrix_to_eazyz(jnp.asarray(r))),
+        t2n(lt.group_matrix_to_eazyz(rt)), atol=1e-4)
+
+    q = rng.normal(size=(32, 4)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(ops.quaternions_to_group_matrix(jnp.asarray(q))),
+        t2n(lt.quaternions_to_group_matrix(torch.tensor(q))), atol=1e-5)
+    qn = q / np.linalg.norm(q, axis=-1, keepdims=True)
+    np.testing.assert_allclose(
+        np.asarray(ops.quaternions_to_eazyz(jnp.asarray(qn))),
+        t2n(lt.quaternions_to_eazyz(torch.tensor(qn))), atol=1e-4)
+
+    # log_map: the reference version is single-matrix only (torch.trace)
+    single = torch.tensor(r[0])
+    np.testing.assert_allclose(
+        np.asarray(ops.log_map(jnp.asarray(r[:1])))[0],
+        t2n(lt.log_map(single)), atol=1e-5)
+
+
+def test_wigner_parity(ref):
+    from lie_vae_tpu import ops
+    lt = ref.lie_tools
+    rng = np.random.default_rng(1)
+    angles = rng.uniform(-math.pi, math.pi, size=(16, 3)).astype(np.float32)
+    at = torch.tensor(angles)
+
+    for degree in range(7):
+        ours = np.asarray(ops.wigner_d_matrix(jnp.asarray(angles), degree))
+        theirs = t2n(lt.wigner_d_matrix(at, degree))
+        np.testing.assert_allclose(ours, theirs, atol=3e-5,
+                                   err_msg=f"degree {degree}")
+
+    spec = rng.normal(size=(16, 49, 10)).astype(np.float32)
+    for transpose in (False, True):
+        for impl in ("zjz", "dense"):
+            ours = np.asarray(ops.block_wigner_matrix_multiply(
+                jnp.asarray(angles), jnp.asarray(spec), 6,
+                transpose=transpose, impl=impl))
+            theirs = t2n(lt.block_wigner_matrix_multiply(
+                at, torch.tensor(spec), 6, transpose=transpose))
+            np.testing.assert_allclose(
+                ours, theirs, atol=5e-5,
+                err_msg=f"transpose={transpose} impl={impl}")
+
+
+# ----------------------------------------------------------- distributions
+
+def test_gaussian_stats_parity(ref):
+    from lie_vae_tpu.distributions.normal import GaussianStats
+    rng = np.random.default_rng(2)
+    B, D, n = 8, 5, 3
+    mu = rng.normal(size=(B, D)).astype(np.float32)
+    sigma = np.abs(rng.normal(size=(B, D))).astype(np.float32) + 0.1
+    z = rng.normal(size=(n, B, D)).astype(np.float32)
+
+    m = ref.reparameterize.Nreparameterize(4, D)
+    m.mu, m.sigma = torch.tensor(mu), torch.tensor(sigma)
+    m.z = torch.tensor(z)
+
+    stats = GaussianStats(mu=jnp.asarray(mu), sigma=jnp.asarray(sigma),
+                          z=jnp.asarray(z))
+    np.testing.assert_allclose(np.asarray(stats.kl()), t2n(m.kl()),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(stats.log_posterior()),
+                               t2n(m.log_posterior()), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(stats.log_prior()),
+                               t2n(m.log_prior()), rtol=1e-5)
+
+
+def test_wrapped_density_and_kl_parity(ref):
+    """SO(3) pushforward: the 21-shell wrapped log-density and the MC KL."""
+    from lie_vae_tpu.distributions.normal import ZeroMeanGaussianStats
+    from lie_vae_tpu.distributions.so3 import (SO3Stats,
+                                               so3_wrapped_log_density)
+    rng = np.random.default_rng(3)
+    n, B = 4, 16
+    sigma = (np.abs(rng.normal(size=(B, 3))) * 0.5 + 0.05).astype(np.float32)
+    v = (rng.normal(size=(n, B, 3)) * sigma).astype(np.float32)
+
+    inner = ref.reparameterize.N0reparameterize(10, 3)
+    so3 = ref.reparameterize.SO3reparameterize(
+        inner, ref.reparameterize.AlgebraMean(10), k=10)
+    inner.sigma = torch.tensor(sigma)
+    inner.z = so3.v = torch.tensor(v)
+    so3.z = torch.zeros(n, B, 3, 3)   # only its shape is read (log_prior)
+
+    ours = so3_wrapped_log_density(jnp.asarray(v), jnp.asarray(sigma), k=10)
+    np.testing.assert_allclose(np.asarray(ours), t2n(so3.log_posterior()),
+                               rtol=2e-5, atol=1e-5)
+
+    stats = SO3Stats(
+        mu_lie=jnp.zeros((B, 3, 3)),
+        inner=ZeroMeanGaussianStats(sigma=jnp.asarray(sigma),
+                                    z=jnp.asarray(v)),
+        z=jnp.zeros((n, B, 3, 3)), k=10)
+    np.testing.assert_allclose(np.asarray(stats.kl()), t2n(so3.kl()),
+                               rtol=2e-5, atol=1e-5)
+
+
+# ------------------------------------------------------- weight transplant
+
+def _conv_to_flax(w):
+    return np.transpose(t2n(w), (2, 3, 1, 0))
+
+
+def _deconv_to_flax(w):
+    return np.ascontiguousarray(
+        np.transpose(t2n(w)[:, :, ::-1, ::-1], (2, 3, 0, 1)))
+
+
+def _linear_to_flax(w):
+    return np.transpose(t2n(w), (1, 0))
+
+
+def _transplant_flagship(ref_model, params):
+    """Copy every weight of the reference VAE into our flax param tree."""
+    import flax
+    params = flax.core.unfreeze(jax.tree_util.tree_map(np.asarray, params))
+
+    convs = [m for m in ref_model.encoder
+             if isinstance(m, torch.nn.Conv2d)]
+    bns = [m for m in ref_model.encoder
+           if isinstance(m, torch.nn.BatchNorm2d)]
+    for i, c in enumerate(convs):
+        params["encoder"][f"Conv_{i}"]["kernel"] = _conv_to_flax(c.weight)
+        params["encoder"][f"Conv_{i}"]["bias"] = t2n(c.bias)
+    for i, b in enumerate(bns):
+        params["encoder"][f"BatchNorm_{i}"]["scale"] = t2n(b.weight)
+        params["encoder"][f"BatchNorm_{i}"]["bias"] = t2n(b.bias)
+
+    rep = ref_model.reparameterize[0]
+    params["rep_group"]["mean"]["Dense_0"]["kernel"] = \
+        _linear_to_flax(rep.mean_module.map.weight)
+    params["rep_group"]["mean"]["Dense_0"]["bias"] = \
+        t2n(rep.mean_module.map.bias)
+    params["rep_group"]["sigma"]["kernel"] = \
+        _linear_to_flax(rep.reparameterize.sigma_linear.weight)
+    params["rep_group"]["sigma"]["bias"] = \
+        t2n(rep.reparameterize.sigma_linear.bias)
+
+    params["decoder"]["item_rep"] = t2n(ref_model.decoder.item_rep)
+    deconvs = [m for m in ref_model.decoder.deconv
+               if isinstance(m, torch.nn.ConvTranspose2d)]
+    for i, d in enumerate(deconvs):
+        params["decoder"]["deconv"][f"ConvTranspose_{i}"]["kernel"] = \
+            _deconv_to_flax(d.weight)
+        params["decoder"]["deconv"][f"ConvTranspose_{i}"]["bias"] = \
+            t2n(d.bias)
+    return jax.tree_util.tree_map(jnp.asarray, params)
+
+
+def test_flagship_forward_parity(ref, monkeypatch):
+    """Full VAE forward (conv encoder + BN -> s2s2 mean -> matrix->Euler ->
+    block-Wigner action decoder -> deconv) matches the reference end to end
+    in deterministic (return-means) mode, eval-mode BatchNorm."""
+    from lie_vae_tpu.models import LieVAE
+    import lie_vae.decoders as ref_decoders
+
+    # Reference bug: VAE.decode always passes z_content (vae.py:190) but
+    # ActionNet.forward only accepts angles (decoders.py:47) -> TypeError.
+    # Shim the obvious intent so the reference path runs at all.
+    orig_forward = ref_decoders.ActionNet.forward
+    monkeypatch.setattr(
+        ref_decoders.ActionNet, "forward",
+        lambda self, angles, content=None: orig_forward(self, angles))
+
+    torch.manual_seed(0)
+    ref_model = ref.vae.VAE(
+        latent_mode="so3", decoder_mode="action", mean_mode="s2s2",
+        encode_mode="conv", deconv_mode="deconv", degrees=3, rep_copies=4,
+        deconv_hidden=32, rgb=True, batch_norm=True, deterministic=True)
+    ref_model.r_callback = None   # reference bug: never assigned (vae.py:137)
+    ref_model.eval()
+
+    model = LieVAE(latent_mode="so3", decoder_mode="action",
+                   mean_mode="s2s2", encode_mode="conv",
+                   deconv_mode="deconv", degrees=3, rep_copies=4,
+                   deconv_hidden=32, rgb=True, batch_norm=True,
+                   deterministic=True)
+    rng = np.random.default_rng(4)
+    x = rng.random(size=(6, 64, 64, 3)).astype(np.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.asarray(x), n=1, train=False)
+    params = _transplant_flagship(ref_model, variables["params"])
+    variables = {"params": params, "batch_stats": variables["batch_stats"]}
+
+    xt = torch.tensor(np.transpose(x, (0, 3, 1, 2)))
+    with torch.no_grad():
+        recon_t = ref_model(xt, n=1)
+        mu_lie_t = ref_model.reparameterize[0].mu_lie
+        loss_t = ref_model.recon_loss(recon_t, xt)
+
+    recon, stats = model.apply(variables, jnp.asarray(x), n=1, train=False)
+    np.testing.assert_allclose(np.asarray(stats[0].mu_lie), t2n(mu_lie_t),
+                               atol=2e-5)
+    ours = np.transpose(np.asarray(recon), (0, 1, 4, 2, 3))   # NHWC -> NCHW
+    theirs = t2n(recon_t).reshape(ours.shape)
+    scale = max(1.0, np.abs(theirs).max())
+    assert np.abs(ours - theirs).max() / scale < 1e-5
+
+    loss = model.apply(variables, recon, jnp.asarray(x),
+                       method="recon_loss")
+    np.testing.assert_allclose(np.asarray(loss),
+                               t2n(loss_t).reshape(np.asarray(loss).shape),
+                               rtol=1e-5)
+
+
+def test_mlp_decoder_normal_parity(ref):
+    """Euclidean-latent baseline: Nreparameterize (return-means) + MLPNet."""
+    from lie_vae_tpu.models import LieVAE
+    import flax
+
+    torch.manual_seed(1)
+    ref_model = ref.vae.VAE(
+        latent_mode="normal", decoder_mode="mlp", normal_dims=8,
+        encode_mode="conv", deconv_mode="deconv", degrees=3, rep_copies=4,
+        deconv_hidden=16, rgb=False, batch_norm=False, deterministic=True)
+    ref_model.r_callback = None
+    ref_model.eval()
+
+    model = LieVAE(latent_mode="normal", decoder_mode="mlp", normal_dims=8,
+                   encode_mode="conv", deconv_mode="deconv", degrees=3,
+                   rep_copies=4, deconv_hidden=16, rgb=False,
+                   batch_norm=False, deterministic=True)
+    rng = np.random.default_rng(5)
+    x = rng.random(size=(4, 64, 64, 1)).astype(np.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.asarray(x), n=1, train=False)
+
+    params = flax.core.unfreeze(
+        jax.tree_util.tree_map(np.asarray, variables["params"]))
+    convs = [m for m in ref_model.encoder if isinstance(m, torch.nn.Conv2d)]
+    for i, c in enumerate(convs):
+        params["encoder"][f"Conv_{i}"]["kernel"] = _conv_to_flax(c.weight)
+        params["encoder"][f"Conv_{i}"]["bias"] = t2n(c.bias)
+    rep = ref_model.reparameterize[0]
+    params["rep_group"]["mu"]["kernel"] = _linear_to_flax(rep.mu_linear.weight)
+    params["rep_group"]["mu"]["bias"] = t2n(rep.mu_linear.bias)
+    params["rep_group"]["sigma"]["kernel"] = \
+        _linear_to_flax(rep.sigma_linear.weight)
+    params["rep_group"]["sigma"]["bias"] = t2n(rep.sigma_linear.bias)
+    linears = [m for m in ref_model.decoder.mlp
+               if isinstance(m, torch.nn.Linear)]
+    for i, l in enumerate(linears):
+        params["decoder"]["MLP_0"][f"Dense_{i}"]["kernel"] = \
+            _linear_to_flax(l.weight)
+        params["decoder"]["MLP_0"][f"Dense_{i}"]["bias"] = t2n(l.bias)
+    deconvs = [m for m in ref_model.decoder.deconv
+               if isinstance(m, torch.nn.ConvTranspose2d)]
+    for i, d in enumerate(deconvs):
+        params["decoder"]["deconv"][f"ConvTranspose_{i}"]["kernel"] = \
+            _deconv_to_flax(d.weight)
+        params["decoder"]["deconv"][f"ConvTranspose_{i}"]["bias"] = \
+            t2n(d.bias)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    xt = torch.tensor(np.transpose(x, (0, 3, 1, 2)))
+    with torch.no_grad():
+        recon_t = ref_model(xt, n=1)
+        kl_t = ref_model.kl()[0]
+
+    recon, stats = model.apply({"params": params}, jnp.asarray(x), n=1,
+                               train=False)
+    ours = np.transpose(np.asarray(recon), (0, 1, 4, 2, 3))
+    theirs = t2n(recon_t).reshape(ours.shape)
+    np.testing.assert_allclose(ours, theirs, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(stats[0].kl()), t2n(kl_t),
+                               rtol=1e-4, atol=1e-5)
