@@ -82,17 +82,18 @@ def run_config(name, args):
         "--compute_dtype", args.compute_dtype,
         "--max_early_stop", str(args.max_early_stop),
         "--ll_batch", "16", "--ll_chunk", "50",
+        # NB: --name makes the CLI route logs/checkpoints to runs/<name> and
+        # outputs/<name> (same behavior as the reference, main.py:23-25)
         "--name", f"matrix-{name}",
-        "--log_dir", os.path.join(args.out_dir, name),
-        "--save_dir", os.path.join(args.out_dir, name),
     ] + CONFIGS[name]
     exp = cli_main.main(argv)
 
     ll = None
     if os.path.exists("ll.txt"):
-        for line in open("ll.txt"):
-            if line.startswith(f"matrix-{name} :"):
-                ll = float(line.split(":")[1])
+        with open("ll.txt") as f:
+            for line in f:
+                if line.startswith(f"matrix-{name} :"):
+                    ll = float(line.split(":")[1])
     return {"best_recon": float(exp.best_value), "ll": ll}
 
 
@@ -108,13 +109,16 @@ def write_table(results, args):
         "| latent space / decoder | best test recon | test LL (n=500) |",
         "|---|---|---|",
     ]
-    old_rows = {}
+    doc = None
     if os.path.exists(args.out):
-        doc = open(args.out).read()
-        if BEGIN in doc and END in doc:
-            for row in doc.split(BEGIN)[1].split(END)[0].splitlines():
-                if row.startswith("| ") and not row.startswith("| latent"):
-                    old_rows[row.split("|")[1].strip()] = row
+        with open(args.out) as f:
+            doc = f.read()
+
+    old_rows = {}
+    if doc is not None and BEGIN in doc and END in doc:
+        for row in doc.split(BEGIN)[1].split(END)[0].splitlines():
+            if row.startswith("| ") and not row.startswith("| latent"):
+                old_rows[row.split("|")[1].strip()] = row
     for name, desc in DESCRIPTIONS.items():
         if name in results:
             r = results[name]
@@ -124,23 +128,22 @@ def write_table(results, args):
             lines.append(old_rows[desc])
     block = f"{BEGIN}\n" + "\n".join(lines) + f"\n{END}"
 
-    if os.path.exists(args.out):
-        doc = open(args.out).read()
-        if BEGIN in doc and END in doc:
-            doc = doc.split(BEGIN)[0] + block + doc.split(END, 1)[1]
-        else:
-            doc = doc.rstrip() + "\n\n## Latent-space matrix (spherecube)\n\n" \
-                + block + "\n"
-    else:
+    if doc is None:
         doc = "# Latent-space matrix\n\n" + block + "\n"
+    elif BEGIN in doc and END in doc:
+        doc = doc.split(BEGIN)[0] + block + doc.split(END, 1)[1]
+    else:
+        doc = doc.rstrip() + "\n\n## Latent-space matrix (spherecube)\n\n" \
+            + block + "\n"
     with open(args.out, "w") as f:
         f.write(doc)
     print(f"wrote {args.out}")
 
 
 def main(argv=None):
-    p = argparse.ArgumentParser(__doc__)
-    p.add_argument("--configs", nargs="*", default=list(CONFIGS))
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--configs", nargs="*", default=list(CONFIGS),
+                   choices=list(CONFIGS))
     p.add_argument("--data_dir", default="data/spherecube-8k")
     p.add_argument("--n_images", type=int, default=8192)
     p.add_argument("--epochs", type=int, default=600)
@@ -149,7 +152,6 @@ def main(argv=None):
     p.add_argument("--steps_per_call", type=int, default=19)
     p.add_argument("--compute_dtype", default="bfloat16")
     p.add_argument("--out", default="BENCHMARKS.md")
-    p.add_argument("--out_dir", default="runs/latent-matrix")
     args = p.parse_args(argv)
 
     ensure_data(args.data_dir, args.n_images)

@@ -41,35 +41,33 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 
 def _install_stubs():
     """Stub the reference's external deps before importing it."""
-    if "lie_learn.representations.SO3.pinchon_hoggan." \
-       "pinchon_hoggan_dense" in sys.modules:
-        return
-    tables = np.load(os.path.join(_HERE, "..", "lie_vae_tpu", "ops",
-                                  "jd_tables.npz"))
-    Jd = [tables[f"J{l}"].astype(np.float64)
-          for l in range(int(tables["lmax"]) + 1)]
+    dense_name = ("lie_learn.representations.SO3.pinchon_hoggan."
+                  "pinchon_hoggan_dense")
+    if dense_name not in sys.modules:
+        tables = np.load(os.path.join(_HERE, "..", "lie_vae_tpu", "ops",
+                                      "jd_tables.npz"))
+        Jd = [tables[f"J{l}"].astype(np.float64)
+              for l in range(int(tables["lmax"]) + 1)]
+        names = ["lie_learn", "lie_learn.representations",
+                 "lie_learn.representations.SO3",
+                 "lie_learn.representations.SO3.pinchon_hoggan",
+                 dense_name]
+        for name in names:
+            sys.modules.setdefault(name, types.ModuleType(name))
+        sys.modules[dense_name].Jd = Jd
 
-    names = ["lie_learn", "lie_learn.representations",
-             "lie_learn.representations.SO3",
-             "lie_learn.representations.SO3.pinchon_hoggan",
-             "lie_learn.representations.SO3.pinchon_hoggan."
-             "pinchon_hoggan_dense"]
-    for name in names:
-        mod = types.ModuleType(name)
-        sys.modules[name] = mod
-    sys.modules[names[-1]].Jd = Jd
+    if "hyperspherical_vae_pytorch.distributions" not in sys.modules:
+        hs = types.ModuleType("hyperspherical_vae_pytorch")
+        hs_d = types.ModuleType("hyperspherical_vae_pytorch.distributions")
 
-    hs = types.ModuleType("hyperspherical_vae_pytorch")
-    hs_d = types.ModuleType("hyperspherical_vae_pytorch.distributions")
+        class _Unused:  # pragma: no cover - import-time stub only
+            def __init__(self, *a, **k):
+                raise NotImplementedError("vmf stub")
 
-    class _Unused:  # pragma: no cover - import-time stub only
-        def __init__(self, *a, **k):
-            raise NotImplementedError("vmf stub")
-
-    hs_d.VonMisesFisher = _Unused
-    hs_d.HypersphericalUniform = _Unused
-    sys.modules["hyperspherical_vae_pytorch"] = hs
-    sys.modules["hyperspherical_vae_pytorch.distributions"] = hs_d
+        hs_d.VonMisesFisher = _Unused
+        hs_d.HypersphericalUniform = _Unused
+        sys.modules["hyperspherical_vae_pytorch"] = hs
+        sys.modules["hyperspherical_vae_pytorch.distributions"] = hs_d
 
 
 @pytest.fixture(scope="module")
