@@ -104,7 +104,7 @@ class UnsupervisedExperiment:
 
         self._multi_step = jax.jit(self._build_multi_step(),
                                    donate_argnums=0)
-        self._eval_step = jax.jit(self._build_eval_step())
+        self._eval_pass = jax.jit(self._build_eval_pass())
 
         # device-resident dataset cache: for datasets that fit on chip
         # (uint8 images; e.g. 2048 spherecube images = 25 MB), batches are
@@ -118,8 +118,8 @@ class UnsupervisedExperiment:
                                  else self._cache_device(test_dataset))
             self._multi_step_idx = jax.jit(
                 self._build_multi_step(indexed=True), donate_argnums=0)
-            self._eval_step_idx = jax.jit(
-                self._build_eval_step(indexed=True))
+            self._eval_pass_idx = jax.jit(
+                self._build_eval_pass(indexed=True))
 
     def _cache_device(self, dataset):
         """Returns (device_images, rows_per_item)."""
@@ -310,6 +310,41 @@ class UnsupervisedExperiment:
 
         return step
 
+    def _build_eval_pass(self, indexed=False):
+        """lax.scan of the eval step over a chunk of stacked batches — one
+        dispatch evaluates steps_per_call validation batches (the same
+        host-latency amortization as the train path; a single dispatch
+        through this image's tunneled runtime costs ~10ms+ of host time,
+        which dominates smoke-scale epochs). Padding batches (n_valid=0)
+        produce NaN rows that the caller drops before averaging."""
+        step = self._build_eval_step(indexed)
+
+        def stacked(*args):
+            r, k, ks = step(*args)
+            return jnp.stack((r, k) + tuple(ks))
+
+        if indexed:
+            def run(params, batch_stats, data, idxs, n_valids, rngs):
+                def body(carry, inp):
+                    idx, nv, rng = inp
+                    return carry, stacked(params, batch_stats, data,
+                                          idx, nv, rng)
+
+                _, out = jax.lax.scan(body, (), (idxs, n_valids, rngs))
+                return out                       # (chunk, 2 + len(kls))
+
+            return run
+
+        def run(params, batch_stats, xs, n_valids, rngs):
+            def body(carry, inp):
+                x, nv, rng = inp
+                return carry, stacked(params, batch_stats, x, nv, rng)
+
+            _, out = jax.lax.scan(body, (), (xs, n_valids, rngs))
+            return out
+
+        return run
+
     # --------------------------------------------------------------- data
 
     def _put(self, x, batch_axis=0, replicate=False):
@@ -328,10 +363,28 @@ class UnsupervisedExperiment:
 
     # --------------------------------------------------------------- eval
 
+    @staticmethod
+    def _pad_stack(arrs, width):
+        """Stack 1D-leading arrays, padding each to `width` leading rows by
+        repeating the last row (padding is masked out in-step)."""
+        out = []
+        for a in arrs:
+            if a.shape[0] < width:
+                a = np.concatenate(
+                    [a, np.repeat(a[-1:], width - a.shape[0], 0)], 0)
+            out.append(a)
+        return np.stack(out)
+
     def test(self):
         """Full pass over the validation loader; returns
-        (recon, kl, *kls) means. Reference: unsupervised.py:58-67."""
-        results = []
+        (recon, kl, *kls) means — uniform over batches, the reference's
+        semantics (unsupervised.py:58-67).
+
+        The whole pass is scanned in chunks of steps_per_call batches per
+        dispatch; chunks are padded to a fixed shape with dummy batches
+        (n_valid=0) whose output rows are dropped host-side, so every chunk
+        reuses one compiled program.
+        """
         rng = jax.random.PRNGKey(0)
         dsize = self.mesh.shape["data"] if self.mesh is not None else 1
         # multi-host: the loader yields the process-LOCAL shard but _put()
@@ -339,41 +392,67 @@ class UnsupervisedExperiment:
         # global one (sharded loaders drop ragged tails, so every process
         # contributes the same number of rows and no padding occurs)
         n_proc = jax.process_count()
+        K = self.steps_per_call
 
         if self._device_test is not None:
             data, factor = self._device_test
-            for i, idx in enumerate(self.test_loader._index_batches()):
-                rows = self._expand_item_indices(idx, factor)
-                n_valid = rows.shape[0]
-                pad = (-n_valid) % dsize
-                if pad:
-                    rows = np.concatenate(
-                        [rows, np.repeat(rows[-1:], pad, 0)], 0)
-                r, k, ks = self._eval_step_idx(
+            rows = [self._expand_item_indices(idx, factor)
+                    for idx in self.test_loader._index_batches()]
+            if not rows:
+                print("test(): evaluation loader produced no batches")
+                return np.full(2, np.nan)
+            n_valids = np.asarray([r.shape[0] for r in rows], np.int32)
+            width = max(r.shape[0] for r in rows)
+            width += (-width) % dsize
+            results = []
+            for c in range(0, len(rows), K):
+                chunk = rows[c:c + K]
+                n_chunk = len(chunk)
+                idxs = self._pad_stack(chunk, width)
+                nvs = n_valids[c:c + K]
+                if n_chunk < K:   # pad to the compiled chunk shape
+                    idxs = np.concatenate(
+                        [idxs, np.repeat(idxs[-1:], K - n_chunk, 0)], 0)
+                    nvs = np.concatenate(
+                        [nvs, np.zeros(K - n_chunk, np.int32)], 0)
+                rngs = jnp.stack([jax.random.fold_in(rng, c + j)
+                                  for j in range(K)])
+                out = self._eval_pass_idx(
                     self.state.params, self.state.batch_stats, data,
-                    self._put(jnp.asarray(rows), replicate=True),
-                    jnp.int32(n_valid), jax.random.fold_in(rng, i))
-                results.append(jnp.stack((r, k, *ks)))
-            return np.mean(np.asarray(jnp.stack(results)), axis=0)
+                    self._put(jnp.asarray(idxs), replicate=True),
+                    jnp.asarray(nvs), rngs)
+                results.append(out[:n_chunk])   # async; drop padding rows
+            return np.mean(np.concatenate(
+                [np.asarray(o) for o in results]), axis=0)
 
-        for i, batch in enumerate(self.test_loader):
-            xb = np.asarray(batch[-1])
-            n_valid = xb.shape[0] * n_proc       # global valid count
-            pad = (-xb.shape[0]) % dsize
-            if pad:   # ragged tail: pad to the data-axis size, mask in-step
-                xb = np.concatenate([xb, np.repeat(xb[-1:], pad, 0)], 0)
-            x = self._put(xb)
-            r, k, ks = self._eval_step(self.state.params,
-                                       self.state.batch_stats, x,
-                                       jnp.int32(n_valid),
-                                       jax.random.fold_in(rng, i))
-            results.append(jnp.stack((r, k, *ks)))   # async device scalars
-        if not results:   # e.g. multi-host with test set < one global batch
+        batches = [np.asarray(b[-1]) for b in self.test_loader]
+        if not batches:   # e.g. multi-host with test set < one global batch
             print("test(): evaluation loader produced no batches")
             return np.full(2, np.nan)
-        # one device->host transfer for the whole pass (each float() of a
-        # device scalar would cost a full round-trip through the runtime)
-        return np.mean(np.asarray(jnp.stack(results)), axis=0)
+        n_valids = np.asarray([b.shape[0] * n_proc for b in batches],
+                              np.int32)                # global valid counts
+        width = max(b.shape[0] for b in batches)
+        width += (-width) % dsize
+        results = []
+        for c in range(0, len(batches), K):
+            chunk = batches[c:c + K]
+            n_chunk = len(chunk)
+            xs = self._pad_stack(chunk, width)
+            nvs = n_valids[c:c + K]
+            if n_chunk < K:
+                xs = np.concatenate(
+                    [xs, np.repeat(xs[-1:], K - n_chunk, 0)], 0)
+                nvs = np.concatenate(
+                    [nvs, np.zeros(K - n_chunk, np.int32)], 0)
+            rngs = jnp.stack([jax.random.fold_in(rng, c + j)
+                              for j in range(K)])
+            out = self._eval_pass(self.state.params, self.state.batch_stats,
+                                  self._put(xs, batch_axis=1),
+                                  jnp.asarray(nvs), rngs)
+            results.append(out[:n_chunk])       # async device values
+        # one device->host transfer per chunk; no per-batch scalar reads
+        return np.mean(np.concatenate(
+            [np.asarray(o) for o in results]), axis=0)
 
     # -------------------------------------------------------------- train
 
