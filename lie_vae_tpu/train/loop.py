@@ -253,27 +253,34 @@ class UnsupervisedExperiment:
         Returns (state, metrics with a leading K axis).
         """
         step = self._build_train_step()
+        # per-step keys are folded in-scan from the base key and the global
+        # iteration numbers: a host-side jax.random.fold_in per step would
+        # cost one remote dispatch each through the tunneled runtime (~10ms+
+        # of host time), which dominates small-epoch wall clock
 
         if indexed:
-            def multi(state, data, idxs, betas, lamb_eqs, lamb_conts, rngs):
+            def multi(state, data, idxs, betas, lamb_eqs, lamb_conts,
+                      rng, its):
                 def body(s, inp):
-                    idx, beta, le, lc, rng = inp
+                    idx, beta, le, lc, it = inp
                     x = self._constrain_batch(jnp.take(data, idx, axis=0))
-                    return step(s, x, beta, le, lc, rng)
+                    return step(s, x, beta, le, lc,
+                                jax.random.fold_in(rng, it))
 
                 return jax.lax.scan(
-                    body, state, (idxs, betas, lamb_eqs, lamb_conts, rngs))
+                    body, state, (idxs, betas, lamb_eqs, lamb_conts, its))
 
             return multi
 
-        def multi(state, xs, betas, lamb_eqs, lamb_conts, rngs):
+        def multi(state, xs, betas, lamb_eqs, lamb_conts, rng, its):
             def body(s, inp):
-                x, beta, le, lc, rng = inp
-                s2, m = step(s, x, beta, le, lc, rng)
+                x, beta, le, lc, it = inp
+                s2, m = step(s, x, beta, le, lc,
+                             jax.random.fold_in(rng, it))
                 return s2, m
 
             return jax.lax.scan(
-                body, state, (xs, betas, lamb_eqs, lamb_conts, rngs))
+                body, state, (xs, betas, lamb_eqs, lamb_conts, its))
 
         return multi
 
@@ -324,23 +331,24 @@ class UnsupervisedExperiment:
             return jnp.stack((r, k) + tuple(ks))
 
         if indexed:
-            def run(params, batch_stats, data, idxs, n_valids, rngs):
+            def run(params, batch_stats, data, idxs, n_valids, rng, offs):
                 def body(carry, inp):
-                    idx, nv, rng = inp
-                    return carry, stacked(params, batch_stats, data,
-                                          idx, nv, rng)
+                    idx, nv, off = inp
+                    return carry, stacked(params, batch_stats, data, idx,
+                                          nv, jax.random.fold_in(rng, off))
 
-                _, out = jax.lax.scan(body, (), (idxs, n_valids, rngs))
+                _, out = jax.lax.scan(body, (), (idxs, n_valids, offs))
                 return out                       # (chunk, 2 + len(kls))
 
             return run
 
-        def run(params, batch_stats, xs, n_valids, rngs):
+        def run(params, batch_stats, xs, n_valids, rng, offs):
             def body(carry, inp):
-                x, nv, rng = inp
-                return carry, stacked(params, batch_stats, x, nv, rng)
+                x, nv, off = inp
+                return carry, stacked(params, batch_stats, x, nv,
+                                      jax.random.fold_in(rng, off))
 
-            _, out = jax.lax.scan(body, (), (xs, n_valids, rngs))
+            _, out = jax.lax.scan(body, (), (xs, n_valids, offs))
             return out
 
         return run
@@ -385,7 +393,9 @@ class UnsupervisedExperiment:
         (n_valid=0) whose output rows are dropped host-side, so every chunk
         reuses one compiled program.
         """
-        rng = jax.random.PRNGKey(0)
+        if not hasattr(self, "_eval_rng"):   # device key, created once
+            self._eval_rng = jax.random.PRNGKey(0)
+        rng = self._eval_rng
         dsize = self.mesh.shape["data"] if self.mesh is not None else 1
         # multi-host: the loader yields the process-LOCAL shard but _put()
         # assembles the GLOBAL batch, so the in-step valid count is the
@@ -415,12 +425,11 @@ class UnsupervisedExperiment:
                         [idxs, np.repeat(idxs[-1:], K - n_chunk, 0)], 0)
                     nvs = np.concatenate(
                         [nvs, np.zeros(K - n_chunk, np.int32)], 0)
-                rngs = jnp.stack([jax.random.fold_in(rng, c + j)
-                                  for j in range(K)])
                 out = self._eval_pass_idx(
                     self.state.params, self.state.batch_stats, data,
                     self._put(jnp.asarray(idxs), replicate=True),
-                    jnp.asarray(nvs), rngs)
+                    jnp.asarray(nvs), rng,
+                    np.arange(c, c + K, dtype=np.int32))
                 results.append(out[:n_chunk])   # async; drop padding rows
             return np.mean(np.concatenate(
                 [np.asarray(o) for o in results]), axis=0)
@@ -444,11 +453,10 @@ class UnsupervisedExperiment:
                     [xs, np.repeat(xs[-1:], K - n_chunk, 0)], 0)
                 nvs = np.concatenate(
                     [nvs, np.zeros(K - n_chunk, np.int32)], 0)
-            rngs = jnp.stack([jax.random.fold_in(rng, c + j)
-                              for j in range(K)])
             out = self._eval_pass(self.state.params, self.state.batch_stats,
                                   self._put(xs, batch_axis=1),
-                                  jnp.asarray(nvs), rngs)
+                                  jnp.asarray(nvs), rng,
+                                  np.arange(c, c + K, dtype=np.int32))
             results.append(out[:n_chunk])       # async device values
         # one device->host transfer per chunk; no per-batch scalar reads
         return np.mean(np.concatenate(
@@ -481,7 +489,7 @@ class UnsupervisedExperiment:
                 return
             its, xs = zip(*group)
             scheds = [self._schedule_values(g) for g in its]
-            rngs = jnp.stack([jax.random.fold_in(self._rng, g) for g in its])
+            its_arr = np.asarray(its, np.int32)
             betas, eqs, conts = (jnp.asarray([s[i] for s in scheds],
                                              dtype=jnp.float32)
                                  for i in range(3))
@@ -489,11 +497,12 @@ class UnsupervisedExperiment:
                 data, _ = self._device_train
                 idxs = self._put(jnp.asarray(np.stack(xs)), replicate=True)
                 self.state, metrics = self._multi_step_idx(
-                    self.state, data, idxs, betas, eqs, conts, rngs)
+                    self.state, data, idxs, betas, eqs, conts,
+                    self._rng, its_arr)
             else:
                 xb = self._put(np.stack(xs), batch_axis=1)
                 self.state, metrics = self._multi_step(
-                    self.state, xb, betas, eqs, conts, rngs)
+                    self.state, xb, betas, eqs, conts, self._rng, its_arr)
             window.append((metrics, len(group)))
             steps_since_report += len(group)
             if (steps_since_report >= self.report_freq
@@ -531,19 +540,36 @@ class UnsupervisedExperiment:
                 flush(group, it)
                 group = []
 
-    @staticmethod
-    def _window_mean(window, name):
-        # concatenate on device, transfer once (device->host scalar reads
-        # each cost a full runtime round-trip)
-        vals = [jnp.reshape(metrics[name], (-1,))[:count]
-                for metrics, count in window]
-        return float(np.asarray(jnp.mean(jnp.concatenate(vals))))
+    def _window_means(self, window, names):
+        """Means over the report window, one value per name, via a single
+        jitted reduction + one device->host transfer. Eager jnp ops here
+        would each be a remote dispatch through the tunneled runtime (and a
+        float() of a device scalar a full round-trip), so the whole
+        reduction is one compiled call."""
+        if not hasattr(self, "_window_reduce_jit"):
+            self._window_reduce_jit = jax.jit(
+                lambda arrs: jnp.stack([
+                    jnp.mean(jnp.concatenate([jnp.ravel(x) for x in a]))
+                    for a in arrs]))
+        # scan metrics are (group_len,) so the count needs no slicing;
+        # concatenating the raw arrays weights each step equally
+        arrs = tuple(tuple(metrics[name] for metrics, _ in window)
+                     for name in names)
+        return np.asarray(self._window_reduce_jit(arrs))
 
     def _report(self, window, epoch, it, global_it, beta, lamb_eq,
                 lamb_cont, start, n_steps=None):
         n_steps = n_steps or sum(c for _, c in window)
-        train_recon = self._window_mean(window, "recon")
-        train_kl = self._window_mean(window, "kl")
+        names = ["recon", "kl"]
+        has_eq = "equivariance" in window[-1][0]
+        has_cont = "encoder_continuity" in window[-1][0]
+        if has_eq:
+            names.append("equivariance")
+        if has_cont:
+            names.append("encoder_continuity")
+        means = dict(zip(names, self._window_means(window, names)))
+        train_recon = float(means["recon"])
+        train_kl = float(means["kl"])
 
         if np.isnan(train_kl):
             raise RuntimeError("NaN KL")
@@ -552,15 +578,14 @@ class UnsupervisedExperiment:
                             global_it)
         self.log.add_scalar("train_recon", train_recon, global_it)
         self.log.add_scalar("train_kl", train_kl, global_it)
-        if "equivariance" in window[-1][0]:
+        if has_eq:
             self.log.add_scalar("equivariance",
-                                self._window_mean(window, "equivariance"),
-                                global_it)
+                                float(means["equivariance"]), global_it)
             self.log.add_scalar("equivariance_lamb", lamb_eq, global_it)
-        if "encoder_continuity" in window[-1][0]:
-            self.log.add_scalar(
-                "encoder_continuity",
-                self._window_mean(window, "encoder_continuity"), global_it)
+        if has_cont:
+            self.log.add_scalar("encoder_continuity",
+                                float(means["encoder_continuity"]),
+                                global_it)
             self.log.add_scalar("encoder_continuity_lamb", lamb_cont,
                                 global_it)
 
@@ -600,16 +625,16 @@ class UnsupervisedExperiment:
         k = len(batches)
         betas = jnp.zeros((k,), jnp.float32) + float(self.beta_schedule(1))
         zeros = jnp.zeros((k,), jnp.float32)
-        rngs = jnp.stack([jax.random.fold_in(self._rng, i)
-                          for i in range(k)])
+        its = np.arange(k, dtype=np.int32)
         # warmup/compile outside the trace
         self.state, m = self._multi_step(self.state, xs, betas, zeros,
-                                         zeros, rngs)
+                                         zeros, self._rng, its)
         _ = float(np.asarray(m["recon"])[-1])
         with jax.profiler.trace(log_dir):
             for _ in range(n_calls):
                 self.state, m = self._multi_step(self.state, xs, betas,
-                                                 zeros, zeros, rngs)
+                                                 zeros, zeros, self._rng,
+                                                 its)
             _ = float(np.asarray(m["recon"])[-1])   # drain
         print(f"profiler trace written to {log_dir}")
 
@@ -636,11 +661,13 @@ class UnsupervisedExperiment:
             print(f"log_likelihood: n={n} not divisible into {chunks} "
                   f"chunks; using n={n_eff} importance samples")
 
-        def ll_fn(params, bs, x, rng):
+        def ll_fn(params, bs, x, rng, i):
             # (cached below: re-jitting per log_likelihood() call would
-            # re-trace every time)
+            # re-trace every time; the per-batch key folds in-jit to avoid
+            # a remote fold_in dispatch per batch)
             variables = self._variables(params, bs)
             xn = self._normalize(x)
+            rng = jax.random.fold_in(rng, i)
 
             def chunk(carry, key):
                 w = self.model.apply(variables, xn, n=n_chunk,
@@ -678,7 +705,7 @@ class UnsupervisedExperiment:
             # (every host evaluates the same items; values are averaged)
             xd = self._put(x, replicate=True)
             out = ll_jit(self.state.params, self.state.batch_stats, xd,
-                         jax.random.fold_in(rng, i))
+                         rng, np.int32(i))
             # keep results on device until the end: a per-call readback
             # would pay the full host<->chip round-trip every batch
             vals.append((out, real))
