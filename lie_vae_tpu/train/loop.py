@@ -17,6 +17,7 @@ TPU-first re-design:
 - data-parallel over a jax Mesh: batches sharded on the 'data' axis, state
   replicated; XLA inserts the gradient all-reduce over ICI.
 """
+import itertools
 import time
 from typing import Any, Optional
 
@@ -74,6 +75,13 @@ class UnsupervisedExperiment:
             num_shards=n_proc, shard_index=pid)
 
         self._rng = jax.random.PRNGKey(seed)
+        self._eval_rng = jax.random.PRNGKey(0)
+        # one jitted reduction for the report window — eager jnp ops here
+        # would each be a remote dispatch through the tunneled runtime
+        self._window_reduce_jit = jax.jit(
+            lambda arrs: jnp.stack([
+                jnp.mean(jnp.concatenate([jnp.ravel(x) for x in a]))
+                for a in arrs]))
 
         # ---- init params from one example batch
         example = train_dataset.prep_batch(
@@ -104,7 +112,8 @@ class UnsupervisedExperiment:
 
         self._multi_step = jax.jit(self._build_multi_step(),
                                    donate_argnums=0)
-        self._eval_pass = jax.jit(self._build_eval_pass())
+        self._eval_pass = jax.jit(
+            self._build_eval_pass(n_proc=jax.process_count()))
 
         # device-resident dataset cache: for datasets that fit on chip
         # (uint8 images; e.g. 2048 spherecube images = 25 MB), batches are
@@ -249,7 +258,8 @@ class UnsupervisedExperiment:
 
         xs: (K, B, ...) batches — or, when indexed=True, the device-resident
         dataset plus (K, B) row indices gathered on-device;
-        betas/lamb_eqs/lamb_conts: (K,); rngs: (K, 2).
+        betas/lamb_eqs/lamb_conts/its: (K,); rng: one base key, folded with
+        each step's global iteration number in-scan.
         Returns (state, metrics with a leading K axis).
         """
         step = self._build_train_step()
@@ -284,11 +294,14 @@ class UnsupervisedExperiment:
 
         return multi
 
-    def _build_eval_step(self, indexed=False):
+    def _build_eval_step(self, indexed=False, n_proc=1):
         model = self.model
         n = self.elbo_samples
 
         if indexed:
+            # indexed eval is single-host only (_cache_device asserts), and
+            # its index arrays are global, so padding sits at the global
+            # tail: keep the default n_proc=1 mask semantics
             inner = self._build_eval_step()
 
             def step_idx(params, batch_stats, data, idx, n_valid, rng):
@@ -298,14 +311,24 @@ class UnsupervisedExperiment:
             return step_idx
 
         def step(params, batch_stats, x, n_valid, rng):
-            # n_valid: true batch size — ragged eval tails are padded to the
-            # mesh data-axis size; padding rows are masked out of the means
+            # n_valid: true (global) batch size — ragged eval tails are
+            # padded to the sharding granularity; padding rows are masked
+            # out of the means
             x = self._normalize(x)
             variables = self._variables(params, batch_stats)
             recon, kl_sum, kls, _ = model.apply(
                 variables, x, n=n, train=False, method="elbo",
                 rngs={"sample": rng})
-            mask = jnp.arange(x.shape[0]) < n_valid
+            if n_proc > 1:
+                # multi-host streaming eval: the global batch is assembled
+                # from per-process blocks (local rows + local padding), so
+                # validity is per-block, not a global tail. Every process
+                # contributes the same row count (sharded loaders drop
+                # ragged tails), so local valid = n_valid // n_proc.
+                block = x.shape[0] // n_proc
+                mask = (jnp.arange(x.shape[0]) % block) < (n_valid // n_proc)
+            else:
+                mask = jnp.arange(x.shape[0]) < n_valid
             denom = n_valid.astype(recon.dtype)
 
             def masked_mean(v):           # v: (B,)
@@ -317,14 +340,14 @@ class UnsupervisedExperiment:
 
         return step
 
-    def _build_eval_pass(self, indexed=False):
+    def _build_eval_pass(self, indexed=False, n_proc=1):
         """lax.scan of the eval step over a chunk of stacked batches — one
         dispatch evaluates steps_per_call validation batches (the same
         host-latency amortization as the train path; a single dispatch
         through this image's tunneled runtime costs ~10ms+ of host time,
         which dominates smoke-scale epochs). Padding batches (n_valid=0)
         produce NaN rows that the caller drops before averaging."""
-        step = self._build_eval_step(indexed)
+        step = self._build_eval_step(indexed, n_proc=n_proc)
 
         def stacked(*args):
             r, k, ks = step(*args)
@@ -383,6 +406,51 @@ class UnsupervisedExperiment:
             out.append(a)
         return np.stack(out)
 
+    def _eval_chunks(self, pairs, width, run_chunk):
+        """Stream (item, global_n_valid) pairs through fixed-shape eval
+        dispatches of steps_per_call items each; returns the stacked
+        per-item metric means, or None if there were no items.
+
+        Items are padded to `width` leading rows; a short final chunk is
+        padded with n_valid=0 dummies. Chunk results stay async device
+        values until one np.asarray transfer each at the end — the dummy
+        rows are sliced off host-side, so no extra device op is dispatched.
+        Streaming (rather than materializing all items first) keeps host
+        memory bounded and overlaps loader prefetch with device eval.
+        """
+        K = self.steps_per_call
+        results = []
+        buf, nvs = [], []
+        c0 = 0
+
+        def flush():
+            nonlocal c0
+            n_chunk = len(buf)
+            items = self._pad_stack(buf, width)
+            nv = np.asarray(nvs, np.int32)
+            if n_chunk < K:   # pad to the compiled chunk shape
+                items = np.concatenate(
+                    [items, np.repeat(items[-1:], K - n_chunk, 0)], 0)
+                nv = np.concatenate([nv, np.zeros(K - n_chunk, np.int32)], 0)
+            out = run_chunk(items, nv, np.arange(c0, c0 + K, dtype=np.int32))
+            results.append((out, n_chunk))
+            c0 += n_chunk
+            buf.clear()
+            nvs.clear()
+
+        for item, n_valid in pairs:
+            buf.append(item)
+            nvs.append(n_valid)
+            if len(buf) == K:
+                flush()
+        if buf:
+            flush()
+        if not results:
+            return None
+        # one device->host transfer per chunk; no per-batch scalar reads
+        return np.mean(np.concatenate(
+            [np.asarray(o)[:n] for o, n in results]), axis=0)
+
     def test(self):
         """Full pass over the validation loader; returns
         (recon, kl, *kls) means — uniform over batches, the reference's
@@ -393,74 +461,51 @@ class UnsupervisedExperiment:
         (n_valid=0) whose output rows are dropped host-side, so every chunk
         reuses one compiled program.
         """
-        if not hasattr(self, "_eval_rng"):   # device key, created once
-            self._eval_rng = jax.random.PRNGKey(0)
         rng = self._eval_rng
         dsize = self.mesh.shape["data"] if self.mesh is not None else 1
         # multi-host: the loader yields the process-LOCAL shard but _put()
         # assembles the GLOBAL batch, so the in-step valid count is the
-        # global one (sharded loaders drop ragged tails, so every process
-        # contributes the same number of rows and no padding occurs)
+        # global one; per-process padding (if local rows don't divide the
+        # per-process device count) is handled by the block-aware eval mask
         n_proc = jax.process_count()
-        K = self.steps_per_call
 
         if self._device_test is not None:
             data, factor = self._device_test
-            rows = [self._expand_item_indices(idx, factor)
-                    for idx in self.test_loader._index_batches()]
-            if not rows:
+            rows = (self._expand_item_indices(idx, factor)
+                    for idx in self.test_loader._index_batches())
+            first = next(rows, None)
+            if first is None:
                 print("test(): evaluation loader produced no batches")
                 return np.full(2, np.nan)
-            n_valids = np.asarray([r.shape[0] for r in rows], np.int32)
-            width = max(r.shape[0] for r in rows)
-            width += (-width) % dsize
-            results = []
-            for c in range(0, len(rows), K):
-                chunk = rows[c:c + K]
-                n_chunk = len(chunk)
-                idxs = self._pad_stack(chunk, width)
-                nvs = n_valids[c:c + K]
-                if n_chunk < K:   # pad to the compiled chunk shape
-                    idxs = np.concatenate(
-                        [idxs, np.repeat(idxs[-1:], K - n_chunk, 0)], 0)
-                    nvs = np.concatenate(
-                        [nvs, np.zeros(K - n_chunk, np.int32)], 0)
-                out = self._eval_pass_idx(
+            # full batches come first, so the first row count is the max
+            width = first.shape[0] + (-first.shape[0]) % dsize
+            out = self._eval_chunks(
+                ((r, r.shape[0]) for r in itertools.chain([first], rows)),
+                width,
+                lambda idxs, nvs, offs: self._eval_pass_idx(
                     self.state.params, self.state.batch_stats, data,
                     self._put(jnp.asarray(idxs), replicate=True),
-                    jnp.asarray(nvs), rng,
-                    np.arange(c, c + K, dtype=np.int32))
-                results.append(out[:n_chunk])   # async; drop padding rows
-            return np.mean(np.concatenate(
-                [np.asarray(o) for o in results]), axis=0)
-
-        batches = [np.asarray(b[-1]) for b in self.test_loader]
-        if not batches:   # e.g. multi-host with test set < one global batch
-            print("test(): evaluation loader produced no batches")
-            return np.full(2, np.nan)
-        n_valids = np.asarray([b.shape[0] * n_proc for b in batches],
-                              np.int32)                # global valid counts
-        width = max(b.shape[0] for b in batches)
-        width += (-width) % dsize
-        results = []
-        for c in range(0, len(batches), K):
-            chunk = batches[c:c + K]
-            n_chunk = len(chunk)
-            xs = self._pad_stack(chunk, width)
-            nvs = n_valids[c:c + K]
-            if n_chunk < K:
-                xs = np.concatenate(
-                    [xs, np.repeat(xs[-1:], K - n_chunk, 0)], 0)
-                nvs = np.concatenate(
-                    [nvs, np.zeros(K - n_chunk, np.int32)], 0)
-            out = self._eval_pass(self.state.params, self.state.batch_stats,
-                                  self._put(xs, batch_axis=1),
-                                  jnp.asarray(nvs), rng,
-                                  np.arange(c, c + K, dtype=np.int32))
-            results.append(out[:n_chunk])       # async device values
-        # one device->host transfer per chunk; no per-batch scalar reads
-        return np.mean(np.concatenate(
-            [np.asarray(o) for o in results]), axis=0)
+                    jnp.asarray(nvs), rng, offs))
+        else:
+            batches = (np.asarray(b[-1]) for b in self.test_loader)
+            first = next(batches, None)
+            if first is None:   # e.g. multi-host test set < one global batch
+                print("test(): evaluation loader produced no batches")
+                return np.full(2, np.nan)
+            # local rows only need the PER-PROCESS share of the data axis;
+            # rounding to the global size would pad inside each block
+            per = max(1, dsize // n_proc)
+            width = first.shape[0] + (-first.shape[0]) % per
+            out = self._eval_chunks(
+                ((b, b.shape[0] * n_proc)
+                 for b in itertools.chain([first], batches)),
+                width,
+                lambda xs, nvs, offs: self._eval_pass(
+                    self.state.params, self.state.batch_stats,
+                    self._put(xs, batch_axis=1),
+                    jnp.asarray(nvs), rng, offs))
+        assert out is not None
+        return out
 
     # -------------------------------------------------------------- train
 
@@ -546,11 +591,6 @@ class UnsupervisedExperiment:
         would each be a remote dispatch through the tunneled runtime (and a
         float() of a device scalar a full round-trip), so the whole
         reduction is one compiled call."""
-        if not hasattr(self, "_window_reduce_jit"):
-            self._window_reduce_jit = jax.jit(
-                lambda arrs: jnp.stack([
-                    jnp.mean(jnp.concatenate([jnp.ravel(x) for x in a]))
-                    for a in arrs]))
         # scan metrics are (group_len,) so the count needs no slicing;
         # concatenating the raw arrays weights each step equally
         arrs = tuple(tuple(metrics[name] for metrics, _ in window)

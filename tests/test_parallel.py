@@ -116,6 +116,47 @@ def test_mesh_eval_with_ragged_tail():
     np.testing.assert_allclose(v8, v1, rtol=1e-4, atol=1e-5)
 
 
+def test_multihost_block_eval_mask():
+    """Multi-host streaming eval: the global batch is assembled from
+    per-process blocks, each [local real rows | local padding], so the
+    n_proc-aware eval step must mask per-block — counting a global tail
+    would average in host 0's pad rows and mask out later hosts' real
+    rows. Uses a deterministic model so per-row values don't depend on
+    the batch layout."""
+    ds = ToyDataset.generate(n=16, degrees=2, rep_copies=3)
+    model = LieVAE(latent_mode="so3", decoder_mode="action",
+                   encode_mode="toy", deconv_mode="toy", mean_mode="alg",
+                   degrees=2, rep_copies=3, deterministic=True)
+    exp = UnsupervisedExperiment(
+        model=model, train_dataset=ds, test_dataset=ds,
+        beta_schedule=ConstantSchedule(1.0), batch_size=16,
+        report_freq=10 ** 9, lr=1e-3, clip_grads=None, mesh=None, seed=0)
+
+    x = np.asarray(ds.gather(np.arange(12))[-1]).astype(np.float32)
+    # two "process" blocks of 8 rows: [6 real + 2 pad] each
+    blocks = [np.concatenate([x[i * 6:(i + 1) * 6],
+                              np.repeat(x[(i + 1) * 6 - 1:(i + 1) * 6],
+                                        2, 0)], 0)
+              for i in range(2)]
+    xb = np.concatenate(blocks, 0)                      # (16, ...)
+    rng = jax.random.PRNGKey(0)
+
+    step1 = jax.jit(exp._build_eval_step())
+    step2 = jax.jit(exp._build_eval_step(n_proc=2))
+    ref = step1(exp.state.params, exp.state.batch_stats,
+                jnp.asarray(x), jnp.asarray(12), rng)
+    got = step2(exp.state.params, exp.state.batch_stats,
+                jnp.asarray(xb), jnp.asarray(12), rng)
+    ref = np.concatenate([np.ravel(r) for r in jax.tree_util.tree_leaves(ref)])
+    got = np.concatenate([np.ravel(r) for r in jax.tree_util.tree_leaves(got)])
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+    # and the old global-tail mask really would get this wrong:
+    bad = step1(exp.state.params, exp.state.batch_stats,
+                jnp.asarray(xb), jnp.asarray(12), rng)
+    bad = np.concatenate([np.ravel(r) for r in jax.tree_util.tree_leaves(bad)])
+    assert not np.allclose(bad, ref, rtol=1e-5, atol=1e-6)
+
+
 def test_mesh_log_likelihood_batch_one():
     """Regression: the final LL eval uses batch size 1, which cannot shard
     over the data axis — it must replicate instead of crashing."""
