@@ -88,6 +88,47 @@ def discontinuity_score(encodings):
     }
 
 
+def encodings_to_group_matrices(encodings, latent_mode):
+    """Interpret flattened mean-path encodings as rotation matrices, per
+    latent mode — the conversions the reference notebook applies before
+    rendering encoded poses (toy_results.ipynb cell 13): 'so3' encodings
+    are already matrices; 'vmfq' S^3 encodings map through the quaternion
+    chart; 3-dim 'normal' encodings map through the tanh-squashed ZYZ
+    Euler chart (vector_to_eazyz, the same chart the action decoder uses).
+    Returns (N, 3, 3).
+    """
+    e = jnp.asarray(encodings)
+    if latent_mode == "so3":
+        return e.reshape(-1, 3, 3)
+    if latent_mode in ("vmf", "vmfq"):
+        return ops.quaternions_to_group_matrix(e.reshape(-1, 4))
+    if latent_mode == "normal":
+        if e.shape[-1] != 3:
+            raise ValueError(
+                "only 3-dim normal latents have a rotation interpretation")
+        return ops.eazyz_to_group_matrix(ops.vector_to_eazyz(e))
+    raise ValueError(f"unknown latent_mode {latent_mode!r}")
+
+
+def render_encoded_poses(rotations, size=64, align_to=None):
+    """Render the sphere-cube at the poses an encoder assigns along a
+    trajectory — the native equivalent of the reference notebook's
+    Blender ``render_axes`` strips (toy_results.ipynb cell 13), using the
+    in-repo ray-caster instead of a Blender subprocess.
+
+    ``align_to`` (a (3, 3) rotation) left-aligns the strip so its first
+    pose equals ``align_to`` — the notebook aligns every model's strip to
+    a common base pose before comparing. Returns (N, size, size, 3).
+    """
+    from lie_vae_tpu.data.render import render_spherecube
+
+    R = np.asarray(rotations, dtype=np.float32).reshape(-1, 3, 3)
+    if align_to is not None:
+        d = np.asarray(align_to, dtype=np.float32) @ R[0].T
+        R = d[None] @ R
+    return render_spherecube(R, size=size)
+
+
 def pca(x, n_components=2):
     """SVD-based PCA; returns (projections (N, k), components (k, D))."""
     x = np.asarray(x, dtype=np.float64)

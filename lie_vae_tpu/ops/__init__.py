@@ -4,7 +4,8 @@ from lie_vae_tpu.ops.so3 import (  # noqa: F401
     rodrigues, expmap, logmap, log_map,
     s2s1rodrigues, s2s2_gram_schmidt, vector_to_eazyz,
     group_matrix_to_quaternions, quaternions_to_eazyz,
-    group_matrix_to_eazyz, quaternions_to_group_matrix,
+    group_matrix_to_eazyz, eazyz_to_group_matrix,
+    quaternions_to_group_matrix,
     random_quaternions, random_group_matrices,
 )
 from lie_vae_tpu.ops.wigner import (  # noqa: F401

@@ -235,6 +235,38 @@ def group_matrix_to_eazyz(r):
     return quaternions_to_eazyz(group_matrix_to_quaternions(r))
 
 
+def eazyz_to_group_matrix(angles):
+    """Batched ZYZ Euler angles -> SO(3) matrix; the inverse of
+    :func:`group_matrix_to_eazyz`.
+
+    In this repo's Euler convention (pinned by quaternions_to_eazyz,
+    lie_vae/lie_tools.py:160-175) the matrix recovers as
+    R = Rz(-gamma) @ Ry(-beta) @ Rz(-alpha). The reference obtains the
+    same map through lie_learn's ``SO3_coordinates(..., 'EA323', 'MAT')``
+    (toy_results.ipynb cell 13); this implementation is round-trip-tested
+    against group_matrix_to_eazyz instead of depending on lie_learn.
+    """
+    angles = jnp.asarray(angles)
+    assert angles.shape[-1] == 3, "input must be (..., 3)"
+    al, be, ga = angles[..., 0], angles[..., 1], angles[..., 2]
+
+    def _rz(t):
+        c, s = jnp.cos(t), jnp.sin(t)
+        z, o = jnp.zeros_like(t), jnp.ones_like(t)
+        return jnp.stack([jnp.stack([c, -s, z], -1),
+                          jnp.stack([s, c, z], -1),
+                          jnp.stack([z, z, o], -1)], -2)
+
+    def _ry(t):
+        c, s = jnp.cos(t), jnp.sin(t)
+        z, o = jnp.zeros_like(t), jnp.ones_like(t)
+        return jnp.stack([jnp.stack([c, z, s], -1),
+                          jnp.stack([z, o, z], -1),
+                          jnp.stack([-s, z, c], -1)], -2)
+
+    return _rz(-ga) @ _ry(-be) @ _rz(-al)
+
+
 def quaternions_to_group_matrix(q):
     """Normalise q and map to a rotation matrix.
 

@@ -82,6 +82,7 @@ class UnsupervisedExperiment:
             lambda arrs: jnp.stack([
                 jnp.mean(jnp.concatenate([jnp.ravel(x) for x in a]))
                 for a in arrs]))
+        self._ll_jit_cache = {}   # (n_chunk, chunks, n_eff) -> jitted ll
 
         # ---- init params from one example batch
         example = train_dataset.prep_batch(
@@ -721,8 +722,6 @@ class UnsupervisedExperiment:
             return lse - jnp.log(float(n_eff))               # (B,)
 
         cache_key = (n_chunk, chunks, n_eff)
-        if not hasattr(self, "_ll_jit_cache"):
-            self._ll_jit_cache = {}
         ll_jit = self._ll_jit_cache.get(cache_key)
         if ll_jit is None:
             ll_jit = self._ll_jit_cache[cache_key] = jax.jit(ll_fn)

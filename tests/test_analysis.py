@@ -71,3 +71,37 @@ def test_encode_and_recon_tools(key):
     jumps, summary = analysis.discontinuity_score(enc_t)
     assert jumps.shape == (15,)
     assert np.isfinite(summary["mean"])
+
+
+def test_encodings_to_group_matrices(key):
+    k1, k2 = jax.random.split(key)
+    r = ops.random_group_matrices(k1, 6)
+    # so3: flattened matrices pass through
+    out = analysis.encodings_to_group_matrices(
+        np.asarray(r).reshape(6, 9), "so3")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(r), atol=1e-6)
+    # vmfq: quaternion chart
+    q = ops.random_quaternions(k2, 6)
+    out = analysis.encodings_to_group_matrices(q, "vmfq")
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(ops.quaternions_to_group_matrix(q)),
+                               atol=1e-6)
+    # normal(3): tanh-squashed Euler chart lands on SO(3)
+    v = np.asarray(jax.random.normal(k2, (6, 3)))
+    out = np.asarray(analysis.encodings_to_group_matrices(v, "normal"))
+    eye = np.broadcast_to(np.eye(3), out.shape)
+    np.testing.assert_allclose(out @ np.swapaxes(out, -1, -2), eye, atol=1e-5)
+    np.testing.assert_allclose(np.linalg.det(out), 1.0, atol=1e-5)
+
+
+def test_render_encoded_poses_alignment(key):
+    traj = np.asarray(analysis.circle_trajectory(5))
+    base = np.asarray(ops.random_group_matrices(key, 1))[0]
+    imgs = analysis.render_encoded_poses(traj, size=32)
+    assert imgs.shape == (5, 32, 32, 3)
+    assert np.isfinite(imgs).all() and imgs.max() <= 1.0
+    # alignment: first frame must equal a direct render of the base pose
+    aligned = analysis.render_encoded_poses(traj, size=32, align_to=base)
+    from lie_vae_tpu.data.render import render_spherecube
+    np.testing.assert_allclose(aligned[0], render_spherecube(base, size=32),
+                               atol=1e-4)

@@ -193,3 +193,31 @@ def test_logmap_taylor_branch_reachable():
     import jax
     g = jax.grad(lambda vv: jnp.sum(ops.logmap(ops.rodrigues(vv))))(v)
     assert jnp.isfinite(g).all()
+
+
+def test_eazyz_to_group_matrix_round_trip(key):
+    # inverse of group_matrix_to_eazyz (the reference gets this map from
+    # lie_learn 'EA323'->'MAT'; here it is pinned by the round trip).
+    # The Euler chart is singular at the beta poles, and the extraction's
+    # 1e-6-eps guards (lie_tools.py:169 and the quaternion case select)
+    # amplify there as 1/sin(beta): empirically err*sin(beta) <= 7e-7
+    # over 16k Haar samples. Assert that law plus a plain bound away from
+    # the poles (cos(beta) = R[2,2] in this convention).
+
+    def _roundtrip_errs(m):
+        m2 = np.asarray(ops.eazyz_to_group_matrix(
+            ops.group_matrix_to_eazyz(m)))
+        m = np.asarray(m)
+        err = np.abs(m2 - m).max(axis=(-2, -1))
+        cosb = np.clip(np.abs(m[:, 2, 2]), None, 1.0)
+        return err, np.sqrt(1.0 - cosb ** 2)
+
+    r = ops.random_group_matrices(key, 2000, dtype=jnp.float64)
+    err, sinb = _roundtrip_errs(r)
+    assert (err * sinb).max() < 2e-6
+    assert err[sinb > 0.43].max() < 2e-6          # |cos(beta)| < 0.9
+    # and the quaternion chart composes consistently
+    q = ops.random_quaternions(key, 2000, dtype=jnp.float64)
+    err, sinb = _roundtrip_errs(ops.quaternions_to_group_matrix(q))
+    assert (err * sinb).max() < 2e-6
+    assert err[sinb > 0.43].max() < 2e-6
