@@ -3,7 +3,10 @@ paper's latent-space diagnostics — the scriptable equivalent of the
 reference's toy_results.ipynb.
 
 Outputs (to --out_dir): discontinuity metrics per config (JSON), PCA
-scatter figures of encodings along SO(3) trajectories, and recon errors.
+scatter figures of encodings along SO(3) trajectories, recon errors, and
+— for rotation-interpretable latents (so3 / vmfq / normal-3) — ray-cast
+strips of the poses the encoder assigns along the circle trajectory (the
+notebook's Blender ``render_axes`` figure, cell 13, without Blender).
 
 Usage:
   python scripts/analyze_toy.py --epochs 200 --out_dir analysis_out
@@ -94,6 +97,24 @@ def run_config(name, cfg, ds, train, valid, args):
         _plot(proj, os.path.join(args.out_dir,
                                  f"{name}_{traj_name}_pca.png"),
               f"{name} — {traj_name}")
+
+        latent_mode = cfg["latent_mode"]
+        rotation_latent = latent_mode in ("so3", "vmfq") or (
+            latent_mode == "normal" and cfg.get("normal_dims") == 3)
+        if traj_name == "circle" and rotation_latent:
+            # encoded-pose strip (toy_results.ipynb cell 13): render the
+            # object at the encoder's poses, aligned to the trajectory
+            # start, so latent-space discontinuities are visible as pose
+            # jumps between adjacent frames
+            mats = np.asarray(
+                analysis.encodings_to_group_matrices(enc, latent_mode))
+            idx = np.linspace(0, len(enc) - 1, 12).astype(int)
+            strip = analysis.render_encoded_poses(
+                mats[idx], size=64, align_to=np.asarray(traj[0]))
+            _plot_strip(strip,
+                        os.path.join(args.out_dir,
+                                     f"{name}_encoded_poses.png"),
+                        f"{name} — encoded poses along the circle")
     return results
 
 
@@ -107,6 +128,20 @@ def _plot(proj, path, title):
     ax.set_title(title)
     fig.tight_layout()
     fig.savefig(path, dpi=100)
+    plt.close(fig)
+
+
+def _plot_strip(imgs, path, title):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    strip = np.concatenate(list(np.clip(imgs, 0.0, 1.0)), axis=1)
+    fig, ax = plt.subplots(figsize=(1.2 * len(imgs), 1.7))
+    ax.imshow(strip)
+    ax.axis("off")
+    ax.set_title(title, fontsize=9)
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
     plt.close(fig)
 
 
