@@ -408,3 +408,29 @@ def test_mlp_decoder_normal_parity(ref):
     np.testing.assert_allclose(ours, theirs, atol=3e-5)
     np.testing.assert_allclose(np.asarray(stats[0].kl()), t2n(kl_t),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_beta_schedule_presets_parity(ref):
+    """Every named beta preset ('a'..'z' minus 't', beta_schedule.py:4-59)
+    and the ConstantSchedule fallback agree with the reference pointwise."""
+    import string
+
+    from lie_vae.experiments.beta_schedule import (
+        get_beta_schedule as ref_get)
+
+    from lie_vae_tpu.train.schedules import get_beta_schedule
+
+    pts = [0, 1, 1000, 50000, 123456, 250000, 400000, 750000,
+           1000000, 2000000]
+    for name in string.ascii_lowercase:
+        if name == "t":          # the one letter the reference skips
+            with pytest.raises(Exception):
+                ref_get(name, 1.0)
+            with pytest.raises(Exception):
+                get_beta_schedule(name, 1.0)
+            continue
+        r, m = ref_get(name, 1.0), get_beta_schedule(name, 1.0)
+        for p in pts:
+            np.testing.assert_allclose(float(m(p)), float(r(p)), rtol=1e-9)
+    np.testing.assert_allclose(float(get_beta_schedule(None, 3.5)(7)),
+                               float(ref_get(None, 3.5)(7)))
