@@ -58,6 +58,12 @@ def ive(v, z):
     z = jnp.asarray(z)
     small = z < 1.0
     zs = jnp.where(small, 1.0, z)   # keep the unused branch finite (1/z)
+    # the series must also see a guarded argument: at z >~ 300 its powers
+    # overflow float32 in the UNTAKEN branch, and jnp.where's VJP then
+    # multiplies the overflowed residuals by the zero cotangent -> NaN
+    # gradients for every kappa past the threshold (observed as NaN grads
+    # in vMF training once the concentration head grew past ~300)
+    zq = jnp.where(small, z, 0.5)
 
     if float(v) == int(v):
         orders = int(v)
@@ -67,7 +73,7 @@ def ive(v, z):
             prev, cur = cur, prev - (2.0 * n / zs) * cur
         if rec is None:
             rec = cur
-        return jnp.where(small, _ive_series(v, z), rec)
+        return jnp.where(small, _ive_series(v, zq), rec)
     # half-integer: I_{1/2} = sqrt(2/(pi z)) sinh z;
     # I_{3/2} = sqrt(2/(pi z)) (cosh z - sinh z / z); then upward recurrence.
     if (float(v) * 2) != int(float(v) * 2):
@@ -77,14 +83,15 @@ def ive(v, z):
     sinh_s = 0.5 * (1.0 - jnp.exp(-2.0 * zs))
     cosh_s = 0.5 * (1.0 + jnp.exp(-2.0 * zs))
     prev = pref * sinh_s                       # order 1/2
+    zq = jnp.where(small, z, 0.5)              # see integer branch comment
     if float(v) == 0.5:
-        return jnp.where(small, _ive_series(v, z), prev)
+        return jnp.where(small, _ive_series(v, zq), prev)
     cur = pref * (cosh_s - sinh_s / zs)        # order 3/2
     order = 1.5
     while order < float(v):
         prev, cur = cur, prev - (2.0 * order / zs) * cur
         order += 1.0
-    return jnp.where(small, _ive_series(v, z), cur)
+    return jnp.where(small, _ive_series(v, zq), cur)
 
 
 def log_ive(v, z):
@@ -171,7 +178,11 @@ def _sample_w(key, kappa, p, n, num_iters=32):
     kd = jax.lax.stop_gradient(kappa[..., 0])          # (B,)
 
     def wood_consts(k):
-        b = (-2.0 * k + jnp.sqrt(4.0 * k ** 2 + (p - 1.0) ** 2)) / (p - 1.0)
+        # b in the cancellation-free form: the textbook
+        # (-2k + sqrt(4k^2 + (p-1)^2))/(p-1) rounds to exactly 0 in float32
+        # for k >~ 1e4 (sqrt(4k^2 + c) == 2k), collapsing every draw to
+        # w == 1 and blowing up downstream gradients
+        b = (p - 1.0) / (2.0 * k + jnp.sqrt(4.0 * k ** 2 + (p - 1.0) ** 2))
         a = (p - 1.0 + 2.0 * k + jnp.sqrt(4.0 * k ** 2 + (p - 1.0) ** 2)) / 4.0
         d = 4.0 * a * b / (1.0 + b) - (p - 1.0) * math.log(p - 1.0)
         return a, b, d
@@ -204,10 +215,10 @@ def _sample_w(key, kappa, p, n, num_iters=32):
     _, eps_acc, _, _, _ = jax.lax.while_loop(cond, body, init)
     eps_acc = jax.lax.stop_gradient(eps_acc)
 
-    # differentiable pushforward of the accepted draw
+    # differentiable pushforward of the accepted draw (same stable b form)
     k_attached = kappa[..., 0]
-    b = (-2.0 * k_attached
-         + jnp.sqrt(4.0 * k_attached ** 2 + (p - 1.0) ** 2)) / (p - 1.0)
+    b = (p - 1.0) / (2.0 * k_attached
+                     + jnp.sqrt(4.0 * k_attached ** 2 + (p - 1.0) ** 2))
     w = (1.0 - (1.0 + b) * eps_acc) / (1.0 - (1.0 - b) * eps_acc)
     return w
 
@@ -231,8 +242,10 @@ def sample_vmf(key, mu, kappa, n=1, deterministic=False):
     v = v.at[..., 0].set(0.0)
     v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
 
+    # floor keeps sqrt's gradient finite when a draw lands on w = +/-1
+    # (sqrt'(0) is infinite; at extreme kappa w rounds to exactly 1)
     z_e1 = jnp.concatenate(
-        [w[..., None], jnp.sqrt(jnp.clip(1.0 - w[..., None] ** 2, 0.0)) *
+        [w[..., None], jnp.sqrt(jnp.clip(1.0 - w[..., None] ** 2, 1e-12)) *
          v[..., 1:]], axis=-1)
 
     # Householder reflection mapping e1 -> mu

@@ -284,6 +284,33 @@ def test_vmf_rsample_grad_through_kappa(key):
     assert float(g[0, 0]) > 0  # more concentration -> higher resultant
 
 
+def test_vmf_grads_finite_at_extreme_kappa(key):
+    """Regression: ive's untaken small-z series branch overflowed float32
+    past kappa ~300, NaN-ing every gradient through jnp.where's VJP (hit
+    in real spherecube vmf training once the concentration head grew);
+    the Wood b-constant also cancels to 0 past kappa ~1e4 in the textbook
+    form, collapsing draws to w == 1 whose sqrt(1 - w^2) has an infinite
+    gradient. Everything must stay finite in float32 to extreme kappa."""
+    mu = jnp.asarray([[1.0, 0, 0, 0]], dtype=jnp.float32)
+    for kap in (300.0, 1000.0, 1e4, 1e6):
+        k = jnp.full((1, 1), kap, jnp.float32)
+        g_kl = jax.grad(lambda kk: jnp.sum(
+            dist.sample_vmf(key, mu, kk, n=4).kl()))(k)
+        g_z = jax.grad(lambda kk: jnp.sum(
+            dist.sample_vmf(key, mu, kk, n=8).z))(k)
+        assert np.isfinite(np.asarray(g_kl)).all(), kap
+        assert np.isfinite(np.asarray(g_z)).all(), kap
+    # the stable Wood constant still matches the textbook form where that
+    # form is accurate
+    for kap in (1.0, 10.0, 100.0):
+        p = 4.0
+        stable = (p - 1.0) / (2.0 * kap + math.sqrt(4 * kap ** 2
+                                                    + (p - 1) ** 2))
+        textbook = (-2 * kap + math.sqrt(4 * kap ** 2 + (p - 1) ** 2)) \
+            / (p - 1)
+        np.testing.assert_allclose(stable, textbook, rtol=1e-12)
+
+
 def test_hyperspherical_uniform_entropy():
     # S^3 surface area = 2 pi^2
     np.testing.assert_allclose(
