@@ -1,0 +1,72 @@
+"""Unit tests for the BENCHMARKS.md marker-section merge logic in the
+sweep drivers (scripts/run_latent_matrix.py, scripts/run_paper_configs.py):
+partial runs must preserve previously-written rows, keep canonical row
+order, and leave the rest of the document untouched."""
+import os
+import sys
+import types
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from scripts import run_latent_matrix as rlm
+from scripts import run_paper_configs as rpc
+
+
+def _args(out, **kw):
+    defaults = dict(out=out, n_images=8192, epochs=240, max_early_stop=30,
+                    compute_dtype="bfloat16")
+    defaults.update(kw)
+    return types.SimpleNamespace(**defaults)
+
+
+def test_latent_matrix_merge_preserves_rows(tmp_path):
+    out = str(tmp_path / "B.md")
+    with open(out, "w") as f:
+        f.write("# Doc\n\npreamble\n")
+
+    rlm.write_table(
+        {"so3-s2s2-action": {"best_recon": 23.72, "ll": -90.87}},
+        _args(out))
+    doc1 = open(out).read()
+    assert "| SO(3) latent, s2s2 mean, action decoder | 23.72 | -90.9 |" \
+        in doc1
+    assert doc1.startswith("# Doc\n\npreamble")
+
+    # a later partial run with a different config keeps the old row and
+    # orders rows canonically (normal3 before so3 in DESCRIPTIONS order)
+    rlm.write_table(
+        {"normal3-action": {"best_recon": 10.52, "ll": None}},
+        _args(out))
+    doc2 = open(out).read()
+    assert "| SO(3) latent, s2s2 mean, action decoder | 23.72 | -90.9 |" \
+        in doc2
+    assert "| N(0,I) R^3 latent, action decoder | 10.52 | — |" in doc2
+    rows = [l for l in doc2.splitlines() if l.startswith("| ")]
+    assert rows.index("| N(0,I) R^3 latent, action decoder | 10.52 | — |") \
+        < rows.index(
+            "| SO(3) latent, s2s2 mean, action decoder | 23.72 | -90.9 |")
+    # markers appear exactly once
+    assert doc2.count(rlm.BEGIN) == 1 and doc2.count(rlm.END) == 1
+
+    # re-running a config replaces its row rather than duplicating it
+    rlm.write_table(
+        {"so3-s2s2-action": {"best_recon": 22.00, "ll": -89.0}},
+        _args(out))
+    doc3 = open(out).read()
+    assert "| SO(3) latent, s2s2 mean, action decoder | 22.00 | -89.0 |" \
+        in doc3
+    assert "23.72" not in doc3
+
+
+def test_paper_configs_merge(tmp_path):
+    out = str(tmp_path / "B.md")
+    rpc.write_table(
+        {"full-scpairs": {"best_recon": 30.0, "ll": -88.0, "kl": 2.5}},
+        _args(out))
+    rpc.write_table(
+        {"klx-spherecube": {"best_recon": 25.0, "ll": None, "kl": 7.01}},
+        _args(out))
+    doc = open(out).read()
+    assert "| 30.00 | 2.50 | -88.0 |" in doc
+    assert "| 25.00 | 7.01 | — |" in doc
+    assert doc.count(rpc.BEGIN) == 1 and doc.count(rpc.END) == 1
