@@ -41,6 +41,12 @@ CONFIGS = {
         "--latent_mode", "so3", "--mean_mode", "s2s2",
         "--decoder_mode", "action",
     ],
+    "contreg-scpairs": [
+        "--config", "scpairs", "contreg",
+        "--data_dir", "data/sc-pairs-8k",
+        "--latent_mode", "so3", "--mean_mode", "s2s2",
+        "--decoder_mode", "action", "--beta", "1",
+    ],
 }
 
 DESCRIPTIONS = {
@@ -48,6 +54,8 @@ DESCRIPTIONS = {
                      "+ continuity 3000, sc-pairs (batch 32)"),
     "klx-spherecube": ("KL-controlled (target 7, gamma 100) SO(3)+action, "
                        "spherecube (batch 64)"),
+    "contreg-scpairs": ("continuity-only (3000) SO(3)+action, sc-pairs "
+                        "(batch 32)"),
 }
 
 BEGIN, END = "<!-- paper-configs:begin -->", "<!-- paper-configs:end -->"
