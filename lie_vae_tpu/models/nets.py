@@ -88,14 +88,15 @@ def _conv(features, kernel, stride, pad, fan_in, dtype=None):
         dtype=dtype)
 
 
-def _deconv(features, kernel, stride, fan_in, valid=False, dtype=None):
+def _deconv(features, kernel, stride, fan_in, valid=False, dtype=None,
+            name=None):
     # stride-2 'SAME' transpose conv doubles spatial dims (torch k4 s2 p1);
     # 'VALID' stride-1 k4 maps 1x1 -> 4x4 (torch k4 s1 p0).
     return nn.ConvTranspose(
         features, (kernel, kernel), strides=(stride, stride),
         padding="VALID" if valid else "SAME",
         kernel_init=torch_init(fan_in), bias_init=torch_init(fan_in),
-        dtype=dtype)
+        dtype=dtype, name=name)
 
 
 class ConvEncoder(nn.Module):
@@ -165,6 +166,7 @@ class DeconvNet(nn.Module):
     rgb: bool = False
     dtype: Any = None    # compute dtype for convs (params stay fp32)
     fast_head: bool = True
+    fast_stack: bool = False  # phase-decompose the hidden k4s2 layers too
 
     @nn.compact
     def __call__(self, x):
@@ -175,14 +177,20 @@ class DeconvNet(nn.Module):
         # = OUT-channels * 16, not in-channels (weight is (in, out, kH, kW))
         x = x.reshape(x.shape[0], 1, 1, self.in_dims)
         x = nn.relu(_deconv(h, 4, 1, h * 16, valid=True, dtype=d)(x))
-        x = nn.relu(_deconv(h, 4, 2, h * 16, dtype=d)(x))
-        x = nn.relu(_deconv(h, 4, 2, h * 16, dtype=d)(x))
-        x = nn.relu(_deconv(h, 4, 2, h * 16, dtype=d)(x))
+        for i in (1, 2, 3):   # the three k4-s2 hidden layers, 4x4 -> 32x32
+            if self.fast_stack:
+                y = FastConvTranspose2x(h, h * 16, dtype=d,
+                                        name=f"ConvTranspose_{i}")(x)
+            else:
+                y = _deconv(h, 4, 2, h * 16, dtype=d,
+                            name=f"ConvTranspose_{i}")(x)
+            x = nn.relu(y)
         if self.fast_head:
             x = FastConvTranspose2x(out_dims, out_dims * 16, dtype=d,
                                     name="ConvTranspose_4")(x)
         else:
-            x = _deconv(out_dims, 4, 2, out_dims * 16, dtype=d)(x)
+            x = _deconv(out_dims, 4, 2, out_dims * 16, dtype=d,
+                        name="ConvTranspose_4")(x)
         return x.astype(jnp.float32)
 
 

@@ -70,3 +70,33 @@ def test_deconvnet_head_equivalence():
     np.testing.assert_allclose(np.asarray(fast.apply(v, x)),
                                np.asarray(slow.apply(v, x)),
                                rtol=1e-6, atol=1e-5)
+
+
+def test_deconvnet_stack_equivalence():
+    """fast_stack=True phase-decomposes the three hidden k4s2 layers:
+    identical param tree and function (and gradients) as the XLA
+    transpose-conv stack."""
+    from lie_vae_tpu.models.nets import DeconvNet
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(2, 490), jnp.float32)
+    fast = DeconvNet(in_dims=490, hidden_dims=16, rgb=True, fast_stack=True)
+    slow = DeconvNet(in_dims=490, hidden_dims=16, rgb=True, fast_stack=False)
+    v = fast.init(jax.random.PRNGKey(0), x)
+    v2 = slow.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
+    for a, b in zip(jax.tree_util.tree_leaves(v),
+                    jax.tree_util.tree_leaves(v2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(fast.apply(v, x)),
+                               np.asarray(slow.apply(v, x)),
+                               rtol=1e-6, atol=1e-5)
+
+    def loss(m):
+        return lambda vv: jnp.sum(m.apply(vv, x) ** 2)
+
+    gf = jax.grad(loss(fast))(v)
+    gs = jax.grad(loss(slow))(v)
+    for a, b in zip(jax.tree_util.tree_leaves(gf),
+                    jax.tree_util.tree_leaves(gs)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-3)
