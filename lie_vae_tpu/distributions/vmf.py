@@ -83,7 +83,6 @@ def ive(v, z):
     sinh_s = 0.5 * (1.0 - jnp.exp(-2.0 * zs))
     cosh_s = 0.5 * (1.0 + jnp.exp(-2.0 * zs))
     prev = pref * sinh_s                       # order 1/2
-    zq = jnp.where(small, z, 0.5)              # see integer branch comment
     if float(v) == 0.5:
         return jnp.where(small, _ive_series(v, zq), prev)
     cur = pref * (cosh_s - sinh_s / zs)        # order 3/2

@@ -35,9 +35,12 @@ def bench(fast_stack, scan_k, calls, dtype):
         def body(carry, _):
             p, xc = carry
             l, g = fwd_bwd(p, xc)
-            # data dependency: feed the loss back into the input so XLA
-            # can't hoist or elide iterations
-            return (p, xc + l * 1e-20), l
+            # data dependency: feed the loss AND a reduction of every
+            # gradient leaf back into the input — without the gradient
+            # term XLA dead-code-eliminates the whole backward pass and
+            # the "fwd+bwd" timing silently measures forward only
+            gsum = sum(jnp.sum(t) for t in jax.tree_util.tree_leaves(g))
+            return (p, xc + (l + gsum) * 1e-20), l
         (_, _), ls = jax.lax.scan(body, (params, xin), None, length=scan_k)
         return ls[-1]
 

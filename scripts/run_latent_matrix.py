@@ -73,6 +73,7 @@ def ensure_data(data_dir, n_images):
 
 def run_config(name, args):
     from lie_vae_tpu.cli import main as cli_main
+    from scripts._results_table import read_ll
 
     argv = [
         "--dataset", "spherecube", "--data_dir", args.data_dir,
@@ -87,57 +88,31 @@ def run_config(name, args):
         "--name", f"matrix-{name}",
     ] + CONFIGS[name]
     exp = cli_main.main(argv)
-
-    ll = None
-    if os.path.exists("ll.txt"):
-        with open("ll.txt") as f:
-            for line in f:
-                if line.startswith(f"matrix-{name} :"):
-                    ll = float(line.split(":")[1])
-    return {"best_recon": float(exp.best_value), "ll": ll}
+    return {"best_recon": float(exp.best_value),
+            "ll": read_ll(f"matrix-{name}")}
 
 
 def write_table(results, args):
-    lines = [
-        f"Spherecube ({args.n_images} in-repo renders), batch 64, beta=1, "
-        f"lr 1e-3, clip 1e-5, early stop {args.max_early_stop} stale "
-        f"epochs (cap {args.epochs}); compute_dtype={args.compute_dtype}. "
-        "LL = importance-sampled test log-likelihood, n=500 "
-        "(the reference's final eval, main.py:134-143). Driven through "
-        "`lie_vae_tpu.cli.main` by `scripts/run_latent_matrix.py`.",
-        "",
-        "| latent space / decoder | best test recon | test LL (n=500) |",
-        "|---|---|---|",
-    ]
-    doc = None
-    if os.path.exists(args.out):
-        with open(args.out) as f:
-            doc = f.read()
+    from scripts._results_table import merge_marker_table
 
-    old_rows = {}
-    if doc is not None and BEGIN in doc and END in doc:
-        for row in doc.split(BEGIN)[1].split(END)[0].splitlines():
-            if row.startswith("| ") and not row.startswith("| latent"):
-                old_rows[row.split("|")[1].strip()] = row
-    for name, desc in DESCRIPTIONS.items():
-        if name in results:
-            r = results[name]
-            ll = f"{r['ll']:.1f}" if r["ll"] is not None else "—"
-            lines.append(f"| {desc} | {r['best_recon']:.2f} | {ll} |")
-        elif desc in old_rows:
-            lines.append(old_rows[desc])
-    block = f"{BEGIN}\n" + "\n".join(lines) + f"\n{END}"
+    def row(desc, r):
+        ll = f"{r['ll']:.1f}" if r["ll"] is not None else "—"
+        return f"| {desc} | {r['best_recon']:.2f} | {ll} |"
 
-    if doc is None:
-        doc = "# Latent-space matrix\n\n" + block + "\n"
-    elif BEGIN in doc and END in doc:
-        doc = doc.split(BEGIN)[0] + block + doc.split(END, 1)[1]
-    else:
-        doc = doc.rstrip() + "\n\n## Latent-space matrix (spherecube)\n\n" \
-            + block + "\n"
-    with open(args.out, "w") as f:
-        f.write(doc)
-    print(f"wrote {args.out}")
+    merge_marker_table(
+        args.out, BEGIN, END,
+        caption=(
+            f"Spherecube ({args.n_images} in-repo renders), batch 64, "
+            f"beta=1, lr 1e-3, clip 1e-5, early stop {args.max_early_stop} "
+            f"stale epochs (cap {args.epochs}); "
+            f"compute_dtype={args.compute_dtype}. LL = importance-sampled "
+            "test log-likelihood, n=500 (the reference's final eval, "
+            "main.py:134-143). Driven through `lie_vae_tpu.cli.main` by "
+            "`scripts/run_latent_matrix.py`."),
+        header="| latent space / decoder | best test recon "
+               "| test LL (n=500) |",
+        descriptions=DESCRIPTIONS, results=results, format_row=row,
+        section_title="Latent-space matrix (spherecube)")
 
 
 def main(argv=None):

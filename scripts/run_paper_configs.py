@@ -23,6 +23,7 @@ Usage:
 """
 import argparse
 import json
+import math
 import os
 import sys
 
@@ -61,9 +62,26 @@ DESCRIPTIONS = {
 BEGIN, END = "<!-- paper-configs:begin -->", "<!-- paper-configs:end -->"
 
 
+def ensure_data(name):
+    """Render the dataset a config needs if it isn't present (the same
+    in-repo ray-caster run_latent_matrix.ensure_data uses)."""
+    from lie_vae_tpu.cli.gen_spherecube import generate
+    pairs = "sc-pairs" in " ".join(CONFIGS[name])
+    data_dir = CONFIGS[name][CONFIGS[name].index("--data_dir") + 1]
+    n = 4096 if pairs else 8192
+    if os.path.isdir(data_dir) and len(os.listdir(data_dir)) >= n:
+        return
+    print(f"rendering {n} {'pairs' if pairs else 'images'} into "
+          f"{data_dir} ...")
+    generate(n, data_dir, step_size=2 * math.pi / 60 if pairs else 0.1,
+             pairs=pairs)
+
+
 def run_config(name, args):
     from lie_vae_tpu.cli import main as cli_main
+    from scripts._results_table import read_ll
 
+    ensure_data(name)
     argv = CONFIGS[name] + [
         "--report_freq", str(args.report_freq),
         "--steps_per_call", str(args.steps_per_call),
@@ -77,12 +95,6 @@ def run_config(name, args):
     argv += args.extra
     exp = cli_main.main(argv)
 
-    ll = None
-    if os.path.exists("ll.txt"):
-        with open("ll.txt") as f:
-            for line in f:
-                if line.startswith(f"paper-{name} :"):
-                    ll = float(line.split(":")[1])
     # end-of-run test KL from the metrics stream (controller evidence)
     kl = None
     metrics_path = os.path.join("runs", f"paper-{name}", "metrics.jsonl")
@@ -92,47 +104,31 @@ def run_config(name, args):
                 rec = json.loads(line)
                 if rec.get("tag") == "test_kl":
                     kl = rec["value"]
-    return {"best_recon": float(exp.best_value), "ll": ll, "kl": kl}
+    return {"best_recon": float(exp.best_value),
+            "ll": read_ll(f"paper-{name}"), "kl": kl}
 
 
 def write_table(results, args):
-    lines = [
-        "Reference preset combinations through `lie_vae_tpu.cli.main` "
-        "(driven by `scripts/run_paper_configs.py`); spherecube/sc-pairs "
-        "data from the in-repo renderer (8192 images / 4096 pairs), "
-        f"compute_dtype={args.compute_dtype}. LL = importance-sampled test "
-        "log-likelihood, n=500.",
-        "",
-        "| config | best test recon | final test KL | test LL (n=500) |",
-        "|---|---|---|---|",
-    ]
-    doc = ""
-    if os.path.exists(args.out):
-        with open(args.out) as f:
-            doc = f.read()
-    old_rows = {}
-    if BEGIN in doc and END in doc:
-        for row in doc.split(BEGIN)[1].split(END)[0].splitlines():
-            if row.startswith("| ") and not row.startswith("| config"):
-                old_rows[row.split("|")[1].strip()] = row
-    for name, desc in DESCRIPTIONS.items():
-        if name in results:
-            r = results[name]
-            ll = f"{r['ll']:.1f}" if r["ll"] is not None else "—"
-            kl = f"{r['kl']:.2f}" if r["kl"] is not None else "—"
-            lines.append(f"| {desc} | {r['best_recon']:.2f} | {kl} | {ll} |")
-        elif desc in old_rows:
-            lines.append(old_rows[desc])
-    block = f"{BEGIN}\n" + "\n".join(lines) + f"\n{END}"
+    from scripts._results_table import merge_marker_table
 
-    if BEGIN in doc and END in doc:
-        doc = doc.split(BEGIN)[0] + block + doc.split(END, 1)[1]
-    else:
-        doc = (doc.rstrip() + "\n\n## Regularized / KL-controlled runs "
-               "(reference presets)\n\n" + block + "\n")
-    with open(args.out, "w") as f:
-        f.write(doc)
-    print(f"wrote {args.out}")
+    def row(desc, r):
+        ll = f"{r['ll']:.1f}" if r["ll"] is not None else "—"
+        kl = f"{r['kl']:.2f}" if r["kl"] is not None else "—"
+        return f"| {desc} | {r['best_recon']:.2f} | {kl} | {ll} |"
+
+    merge_marker_table(
+        args.out, BEGIN, END,
+        caption=(
+            "Reference preset combinations through `lie_vae_tpu.cli.main` "
+            "(driven by `scripts/run_paper_configs.py`); spherecube/"
+            "sc-pairs data from the in-repo renderer (8192 images / 4096 "
+            f"pairs), compute_dtype={args.compute_dtype}. LL = "
+            "importance-sampled test log-likelihood, n=500."),
+        header="| config | best test recon | final test KL "
+               "| test LL (n=500) |",
+        descriptions=DESCRIPTIONS, results=results, format_row=row,
+        section_title="Regularized / KL-controlled runs "
+                      "(reference presets)")
 
 
 def main(argv=None):
