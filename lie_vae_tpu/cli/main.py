@@ -70,6 +70,7 @@ def build_model(args, dataset, item_rep):
         rep_copies=args.rep_copies,
         degrees=args.degrees,
         deconv_hidden=args.deconv_hidden,
+        conv_hidden=args.conv_hidden,
         batch_norm=bool(args.batch_norm),
         rgb=dataset.rgb,
         normal_dims=args.normal_dims,
@@ -196,6 +197,9 @@ def parse_args(argv=None):
     parser.add_argument("--report_freq", type=int, default=2500)
     parser.add_argument("--degrees", type=int, default=6)
     parser.add_argument("--deconv_hidden", type=int, default=200)
+    parser.add_argument("--conv_hidden", type=int, default=50,
+                        help="conv-encoder base width (TPU extension; the "
+                             "reference hardcodes 50)")
     parser.add_argument("--rep_copies", type=int, default=10)
     parser.add_argument("--clip_grads", type=float, default=1e-5)
     parser.add_argument("--selective_clip", action="store_true")

@@ -38,6 +38,10 @@ class LieVAE(nn.Module):
     decoder_mode: str = "action"
     degrees: int = 6
     deconv_hidden: int = 50
+    # conv-encoder base width (reference hardcodes 50, nets.py:8); exposed
+    # as a capacity knob — BENCHMARKS shows decoder width is the binding
+    # constraint at the paper's scales, encoder width is the next lever
+    conv_hidden: int = 50
     encode_mode: str = "conv"
     deconv_mode: str = "deconv"
     rep_copies: int = 10
@@ -94,7 +98,8 @@ class LieVAE(nn.Module):
 
         # encoder (vae.py:56-70)
         if self.encode_mode == "conv":
-            self.encoder = ConvEncoder(in_dims, rgb=self.rgb,
+            self.encoder = ConvEncoder(in_dims, hidden_dims=self.conv_hidden,
+                                       rgb=self.rgb,
                                        batch_norm=self.batch_norm,
                                        dtype=cdt)
         elif self.encode_mode == "toy":

@@ -213,3 +213,19 @@ def test_jit_full_forward(key):
 
     r, k = run(variables, x, jax.random.PRNGKey(2))
     assert np.isfinite(float(r)) and np.isfinite(float(k))
+
+
+def test_conv_hidden_capacity_knob():
+    """conv_hidden widens the encoder stack (TPU extension; default 50 is
+    the reference's hardcoded width, nets.py:8)."""
+    import jax
+    m = LieVAE(latent_mode="so3", decoder_mode="action", mean_mode="s2s2",
+               encode_mode="conv", deconv_mode="deconv", degrees=2,
+               rep_copies=2, rgb=True, conv_hidden=64)
+    x = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    v = m.init({"params": jax.random.PRNGKey(0),
+                "sample": jax.random.PRNGKey(1)}, x, n=1, train=False)
+    k = v["params"]["encoder"]["Conv_0"]["kernel"]
+    assert k.shape[-1] == 64          # first conv outputs conv_hidden
+    k3 = v["params"]["encoder"]["Conv_3"]["kernel"]
+    assert k3.shape[-1] == 8 * 64     # 8h at the fourth layer
