@@ -20,9 +20,19 @@ estimate of the reference PyTorch implementation's steps/sec on its original
 single-GPU setup (cuda 9.1 era hardware, README.md:18; the reference prints
 seconds/iteration at unsupervised.py:151-155 but publishes no numbers, so
 the baseline is an estimate of a 2018 desktop GPU on this model: ~30 it/s).
-The north-star target (BASELINE.md) is >=5x that.
+The reference MEASURED on this host's CPU (the only shared hardware) is
+far slower — see scripts/bench_reference_torch.py / BENCHMARKS.md.
+The north-star target (BASELINE.md) is >=5x the GPU estimate.
+
+The training batch is REAL spherecube renders (--data_dir, default
+data/spherecube — rendered on the spot if absent, ~20 s one-time), so the
+step exercises true image statistics through the conv/BN stack; pass
+--synthetic to use the old uniform-noise batch.
 """
+import argparse
 import json
+import os
+import sys
 import time
 
 REF_STEPS_PER_SEC = 30.0
@@ -30,7 +40,32 @@ SCAN_K = 64
 N_CALLS = 16  # 1024 timed steps
 
 
-def main():
+def _real_batch(data_dir, batch):
+    """(batch, 64, 64, 3) float32 of real renders; renders a minimal set
+    on first use when the directory is absent."""
+    import numpy as np
+    from lie_vae_tpu.data import SphereCubeDataset
+
+    min_images = max(batch, 256)
+    if not os.path.isdir(data_dir) or len(os.listdir(data_dir)) < min_images:
+        from lie_vae_tpu.cli.gen_spherecube import generate
+        print(f"rendering {min_images} spherecube images into {data_dir} "
+              "(one-time)", file=sys.stderr)
+        os.makedirs(data_dir, exist_ok=True)
+        generate(min_images, data_dir, step_size=0.1, pairs=False)
+    ds = SphereCubeDataset(data_dir)
+    imgs = ds.prep_batch(ds.gather(np.arange(batch)))[-1]
+    return np.asarray(imgs, np.float32) / 255.0
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data_dir", default="data/spherecube")
+    ap.add_argument("--synthetic", action="store_true",
+                    help="train on uniform noise instead of renders")
+    ap.add_argument("--batch", type=int, default=64)
+    args = ap.parse_args(argv)
+
     import jax
     import jax.numpy as jnp
 
@@ -39,9 +74,14 @@ def main():
 
     model = _flagship_model(compute_dtype="bfloat16")
 
-    batch = 64
-    x = jax.random.uniform(jax.random.PRNGKey(0), (batch, 64, 64, 3),
-                           jnp.float32)
+    batch = args.batch
+    if args.synthetic:
+        data_note = "synthetic uniform-noise batch"
+        x = jax.random.uniform(jax.random.PRNGKey(0), (batch, 64, 64, 3),
+                               jnp.float32)
+    else:
+        data_note = f"real renders from {args.data_dir}"
+        x = jnp.asarray(_real_batch(args.data_dir, batch))
     variables = model.init(
         {"params": jax.random.PRNGKey(1), "sample": jax.random.PRNGKey(2)},
         x, n=1, train=True)
@@ -90,9 +130,11 @@ def main():
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / REF_STEPS_PER_SEC, 2),
         "baseline_note": ("REF_STEPS_PER_SEC=30 estimated 2018-GPU "
-                          "reference throughput; batch 64, 64x64 RGB, "
-                          "degrees 6, bf16 compute, scan=%d; loss=%.1f"
-                          % (SCAN_K, final_loss)),
+                          "reference throughput (measured torch-CPU "
+                          "reference: see BENCHMARKS.md); batch %d, 64x64 "
+                          "RGB, degrees 6, bf16 compute, scan=%d; %s; "
+                          "loss=%.1f"
+                          % (batch, SCAN_K, data_note, final_loss)),
     }))
 
 

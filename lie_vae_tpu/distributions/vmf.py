@@ -28,73 +28,119 @@ from flax import struct
 from jax.scipy.special import i0e, i1e
 
 
-def _ive_series(v, z, terms=10):
-    """I_v(z) e^{-z} via the ascending series — exact as z -> 0, where the
-    upward recurrence catastrophically cancels in float32.
+def _series_scaled(v, z, terms=32):
+    """S_v(z) = sum_k (z^2/4)^k / (k! Gamma(v+k+1)), so I_v = (z/2)^v S_v.
 
-    I_v(z) = (z/2)^v sum_k (z^2/4)^k / (k! Gamma(v+k+1)); with 10 terms the
-    truncation error at z=1 is below float32 resolution.
+    Cancellation-free and O(1/Gamma(v+1))-scaled: no (z/2)^v underflow, and
+    the running-term form (t *= zz / (k (v+k))) never overflows for the
+    guarded arguments it sees. 32 terms cover z up to ~16 below float32
+    resolution (term_32 < 1e-12 relative at z=16).
     """
     vf = float(v)
     zz = 0.25 * z * z
-    coef = 1.0 / math.gamma(vf + 1.0)
-    acc = jnp.full_like(z, coef)
-    pow_zz = jnp.ones_like(z)
+    t = jnp.full_like(z, 1.0 / math.gamma(vf + 1.0))
+    acc = t
     for k in range(1, terms):
-        coef /= k * (vf + k)
-        pow_zz = pow_zz * zz
-        acc = acc + coef * pow_zz
-    return jnp.exp(-z) * (0.5 * z) ** vf * acc
+        t = t * (zz / (k * (vf + k)))
+        acc = acc + t
+    return acc
 
 
-def ive(v, z):
-    """Exponentially scaled modified Bessel I_v(z) * exp(-z) for z >= 0.
+def _small_threshold(v):
+    # the upward recurrence I_{v+1} = I_{v-1} - (2v/z) I_v is only stable
+    # for z >~ v (below that it cancels catastrophically: wrong-sign values
+    # for v >= 2 at z <~ 1e-3 in float32, ~1e-4 relative error at z ~ 1 for
+    # v ~ 7 even in float64); the ascending series covers z < max(1, v)
+    return max(1.0, float(v))
 
-    v must be a static non-negative integer or half-integer. For z < 1 the
-    ascending series is used (the upward recurrence I_{v+1} = I_{v-1} -
-    (2v/z) I_v cancels catastrophically there — it returned wrong-sign
-    values for v >= 2 at z <~ 1e-3 in float32).
-    """
-    z = jnp.asarray(z)
-    small = z < 1.0
-    zs = jnp.where(small, 1.0, z)   # keep the unused branch finite (1/z)
-    # the series must also see a guarded argument: at z >~ 300 its powers
-    # overflow float32 in the UNTAKEN branch, and jnp.where's VJP then
-    # multiplies the overflowed residuals by the zero cotangent -> NaN
-    # gradients for every kappa past the threshold (observed as NaN grads
-    # in vMF training once the concentration head grew past ~300)
-    zq = jnp.where(small, z, 0.5)
 
+def _recurrence(v, zs):
+    """ive via i0e/i1e (or the half-integer closed forms) + upward
+    recurrence; only valid for z >~ v."""
     if float(v) == int(v):
         orders = int(v)
         prev, cur = i0e(zs), i1e(zs)   # I_0 e^-z, I_1 e^-z
-        rec = prev if orders == 0 else None
+        if orders == 0:
+            return prev
         for n in range(1, orders):
             prev, cur = cur, prev - (2.0 * n / zs) * cur
-        if rec is None:
-            rec = cur
-        return jnp.where(small, _ive_series(v, zq), rec)
-    # half-integer: I_{1/2} = sqrt(2/(pi z)) sinh z;
-    # I_{3/2} = sqrt(2/(pi z)) (cosh z - sinh z / z); then upward recurrence.
+        return cur
     if (float(v) * 2) != int(float(v) * 2):
         raise ValueError("ive supports integer and half-integer orders only")
+    # half-integer: I_{1/2} = sqrt(2/(pi z)) sinh z;
+    # I_{3/2} = sqrt(2/(pi z)) (cosh z - sinh z / z); then upward recurrence.
     # scaled: sinh(z) e^-z = (1 - e^-2z)/2 ; cosh(z) e^-z = (1 + e^-2z)/2
     pref = jnp.sqrt(2.0 / (math.pi * zs))
     sinh_s = 0.5 * (1.0 - jnp.exp(-2.0 * zs))
     cosh_s = 0.5 * (1.0 + jnp.exp(-2.0 * zs))
     prev = pref * sinh_s                       # order 1/2
     if float(v) == 0.5:
-        return jnp.where(small, _ive_series(v, zq), prev)
+        return prev
     cur = pref * (cosh_s - sinh_s / zs)        # order 3/2
     order = 1.5
     while order < float(v):
         prev, cur = cur, prev - (2.0 * order / zs) * cur
         order += 1.0
-    return jnp.where(small, _ive_series(v, zq), cur)
+    return cur
+
+
+def _branch_args(v, z):
+    """(small, zs, zq): guarded arguments for the two branches. Both
+    branches must see finite, non-overflowing inputs — jnp.where's VJP
+    multiplies the UNTAKEN branch's residuals by a zero cotangent, which
+    still NaNs on inf/NaN residuals (observed as NaN grads in vMF training
+    once the concentration head grew past ~300)."""
+    thr = _small_threshold(v)
+    small = z < thr
+    zs = jnp.where(small, thr, z)   # recurrence arg: keep 1/z finite
+    zq = jnp.where(small, z, 0.5)   # series arg: keep powers bounded
+    return small, zs, zq
+
+
+def ive(v, z):
+    """Exponentially scaled modified Bessel I_v(z) * exp(-z) for z >= 0.
+
+    v must be a static non-negative integer or half-integer. For
+    z < max(1, v) the ascending series is used (the upward recurrence is
+    unstable there); above, i0e/i1e (or the half-integer closed forms) +
+    upward recurrence.
+    """
+    z = jnp.asarray(z)
+    small, zs, zq = _branch_args(v, z)
+    series = jnp.exp(-zq) * (0.5 * zq) ** float(v) * _series_scaled(v, zq)
+    return jnp.where(small, series, _recurrence(v, zs))
 
 
 def log_ive(v, z):
-    return jnp.log(jnp.maximum(ive(v, z), 1e-30))
+    """log(I_v(z)) - z, cancellation-free for small z: the series branch
+    returns v log(z/2) + log S_v - z directly, so it neither underflows
+    ((z/2)^v for v >= 3 underflows float32 below z ~ 1e-4) nor loses the
+    v log z singularity that must cancel against the v log kappa term of
+    the vMF normalizer."""
+    z = jnp.asarray(z)
+    small, zs, zq = _branch_args(v, z)
+    tiny = jnp.asarray(jnp.finfo(z.dtype).tiny, z.dtype)
+    series = (float(v) * jnp.log(0.5 * jnp.maximum(zq, tiny))
+              + jnp.log(_series_scaled(v, zq)) - zq)
+    rec = jnp.log(jnp.maximum(_recurrence(v, zs), 1e-30))
+    return jnp.where(small, series, rec)
+
+
+def bessel_ratio(v, z):
+    """A(z) = I_{v+1}(z) / I_v(z), stable at both ends.
+
+    The naive ive/ive ratio is 0/0 once (z/2)^{v+1} underflows (float32:
+    z <~ 1e-4 already for v = 3, i.e. any vMF head with p >= 8 and a small
+    concentration output) — the series branch computes the ratio of the
+    SCALED series instead: A = (z/2) S_{v+1}(z) / S_v(z).
+    """
+    z = jnp.asarray(z)
+    small, zs, zq = _branch_args(float(v) + 1.0, z)
+    series = 0.5 * zq * (_series_scaled(float(v) + 1.0, zq)
+                         / _series_scaled(v, zq))
+    rec = (_recurrence(float(v) + 1.0, zs)
+           / jnp.maximum(_recurrence(v, zs), 1e-30))
+    return jnp.where(small, series, rec)
 
 
 def _log_vmf_normalizer(kappa, p):
@@ -154,7 +200,7 @@ class VonMisesFisherStats:
         """H[q] = -log C_p(k) - k * A_p(k), A_p = I_{p/2} / I_{p/2-1}, (B,)."""
         k = self.kappa[..., 0]
         v = self.p / 2.0 - 1.0
-        a = ive(v + 1.0, k) / ive(v, k)
+        a = bessel_ratio(v, k)
         return -_log_vmf_normalizer(k, self.p) - k * a
 
     def kl(self):

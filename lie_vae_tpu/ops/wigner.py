@@ -254,25 +254,39 @@ def block_wigner_matrix_multiply(angles, spectrum, max_degree,
       - angles   (B, 3) ZYZ Euler angles
       - spectrum (B, S, C) or (S, C) Fourier modes, S = (max_degree+1)^2
       - transpose: apply the transposed representation matrices
-      - impl: 'zjz' (default — the factored chain, W never materialized;
-        6-12x the other paths at large B, see scripts/bench_kernels.py;
-        'xla' and 'auto' are aliases, it is the fastest XLA path at every
-        measured size) | 'dense' (synthesize the full W then one batched
-        matmul; for callers who also want W's structure) | 'pallas' (fused
-        VMEM kernel with a custom-VJP backward kernel, kept for
-        comparison — zjz beats it)
+      - impl: 'fused' (default on TPU via 'auto' — the factored chain as
+        ONE Pallas kernel, intermediates never leave VMEM; bf16 matmuls
+        with f32 accumulation, the same numeric class as XLA at TPU-default
+        matmul precision) | 'zjz' (the factored chain in XLA ops — the
+        fastest non-Pallas path, and the fallback when S*C exceeds the
+        fused kernel's VMEM constant budget) | 'xla' (alias of 'zjz') |
+        'auto' (fused where eligible, else zjz) | 'dense' (synthesize the
+        full W then one batched matmul; for callers who also want W's
+        structure) | 'pallas' (the older per-sample synthesize+apply
+        kernel, kept for comparison — zjz beats it)
 
     Output: (B, S, C).
 
     Reference: block_wigner_matrix_multiply, lie_vae/lie_tools.py:226-253
     (a Python loop of per-degree bmm's).
     """
-    if impl not in ("zjz", "xla", "auto", "dense", "pallas"):
-        raise ValueError(f"unknown wigner impl {impl!r} (expected 'zjz', "
-                         "'dense', 'pallas', 'auto', or 'xla')")
-    if impl in ("zjz", "xla", "auto"):
+    if impl not in ("zjz", "xla", "auto", "dense", "pallas", "fused"):
+        raise ValueError(f"unknown wigner impl {impl!r} (expected 'fused', "
+                         "'zjz', 'dense', 'pallas', 'auto', or 'xla')")
+    if impl == "auto":
+        from lie_vae_tpu.ops.kernels import MAX_FUSED_SC
+        S = (max_degree + 1) ** 2
+        SC = spectrum.shape[-1] * S if spectrum.ndim >= 2 else None
+        impl = ("fused" if SC is not None and SC <= MAX_FUSED_SC
+                else "zjz")
+    if impl in ("zjz", "xla"):
         return block_wigner_apply_zjz(angles, spectrum, max_degree,
                                       transpose=transpose)
+    if impl == "fused":
+        from lie_vae_tpu.ops.kernels import (
+            block_wigner_matrix_multiply_fused)
+        return block_wigner_matrix_multiply_fused(
+            angles, spectrum, max_degree, transpose=transpose)
     if impl == "pallas":
         from lie_vae_tpu.ops.kernels import (
             block_wigner_matrix_multiply_pallas)

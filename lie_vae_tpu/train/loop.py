@@ -401,6 +401,10 @@ class UnsupervisedExperiment:
         repeating the last row (padding is masked out in-step)."""
         out = []
         for a in arrs:
+            assert a.shape[0] <= width, (
+                f"eval batch of {a.shape[0]} rows exceeds the chunk width "
+                f"{width} inferred from the first batch — BatchLoader must "
+                "yield full batches first (only the final batch may be short)")
             if a.shape[0] < width:
                 a = np.concatenate(
                     [a, np.repeat(a[-1:], width - a.shape[0], 0)], 0)
@@ -476,8 +480,11 @@ class UnsupervisedExperiment:
                     for idx in self.test_loader._index_batches())
             first = next(rows, None)
             if first is None:
-                print("test(): evaluation loader produced no batches")
-                return np.full(2, np.nan)
+                raise RuntimeError(
+                    "test(): evaluation loader produced no batches — test "
+                    "metrics and best_value would silently become NaN. "
+                    "Check the validation split size (multi-host: each "
+                    "process needs at least one full shard of a batch).")
             # full batches come first, so the first row count is the max
             width = first.shape[0] + (-first.shape[0]) % dsize
             out = self._eval_chunks(
@@ -491,8 +498,11 @@ class UnsupervisedExperiment:
             batches = (np.asarray(b[-1]) for b in self.test_loader)
             first = next(batches, None)
             if first is None:   # e.g. multi-host test set < one global batch
-                print("test(): evaluation loader produced no batches")
-                return np.full(2, np.nan)
+                raise RuntimeError(
+                    "test(): evaluation loader produced no batches — test "
+                    "metrics and best_value would silently become NaN. "
+                    "Check the validation split size (multi-host: each "
+                    "process needs at least one full shard of a batch).")
             # local rows only need the PER-PROCESS share of the data axis;
             # rounding to the global size would pad inside each block
             per = max(1, dsize // n_proc)

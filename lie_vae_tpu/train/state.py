@@ -41,9 +41,15 @@ class TrainState:
 def _selective_mask(params):
     """True for the encoder + reparameterizer subtrees (the targets of the
     reference's selective clip, unsupervised.py:111-114)."""
-    return {k: jax.tree_util.tree_map(
+    mask = {k: jax.tree_util.tree_map(
         lambda _: k in ("encoder", "rep_group"), v)
         for k, v in params.items()}
+    # guard against a silent no-op: if the model's attribute names ever
+    # drift from encoder/rep_group, the mask would clip nothing
+    assert any(jax.tree_util.tree_leaves(mask)), (
+        "selective clip selected zero parameters — expected 'encoder' / "
+        f"'rep_group' subtrees, found top-level keys {sorted(params)}")
+    return mask
 
 
 def make_optimizer(lr=1e-3, weight_decay=0.0, clip_grads=1e-5,

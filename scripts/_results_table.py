@@ -15,7 +15,8 @@ def read_ll(run_name, path="ll.txt"):
         with open(path) as f:
             for line in f:
                 if line.startswith(f"{run_name} :"):
-                    ll = float(line.split(":")[1])
+                    # rsplit: run names may themselves contain ':'
+                    ll = float(line.rsplit(":", 1)[1])
     return ll
 
 

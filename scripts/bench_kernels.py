@@ -27,7 +27,8 @@ from jax import lax
 from lie_vae_tpu import ops
 from lie_vae_tpu.distributions.so3 import so3_wrapped_log_density
 from lie_vae_tpu.ops.kernels import (
-    block_wigner_matrix_multiply_pallas, so3_wrapped_log_density_pallas)
+    block_wigner_apply_fused_flat, block_wigner_matrix_multiply_pallas,
+    so3_wrapped_log_density_pallas)
 
 HBM_GBPS = 819.0  # v5e
 
@@ -85,9 +86,45 @@ def main():
         t_zjz = timeit(
             lambda a, s: ops.block_wigner_apply_zjz(a, s, 6),
             angles, spec)
+        spec_flat = spec.reshape(B, -1)
+        t_fused = timeit(
+            lambda a, s: block_wigner_apply_fused_flat(
+                a, s, 6, interpret=False),
+            angles, spec_flat)
+        t_fused32 = timeit(
+            lambda a, s: block_wigner_apply_fused_flat(
+                a, s, 6, compute_dtype=jnp.float32, interpret=False),
+            angles, spec_flat)
         print(f"B={B:6d}: dense {t_xla:7.3f} ms | pallas(b8) {t_pl:7.3f} ms "
               f"| pallas(b32) {t_pl32:7.3f} ms | zjz {t_zjz:7.3f} ms "
-              f"| HBM-SoL {sol:7.3f} ms")
+              f"| fused-bf16 {t_fused:7.3f} ms | fused-f32 {t_fused32:7.3f} "
+              f"ms | HBM-SoL {sol:7.3f} ms")
+
+    print("== block Wigner apply fwd+bwd (L=6, C=10, B=8192) ==")
+    k1, k2 = jax.random.split(jax.random.fold_in(key, 777))
+    B = 8192
+    angles = ops.group_matrix_to_eazyz(
+        ops.random_group_matrices(k1, B)).astype(jnp.float32)
+    spec_flat = jax.random.normal(k2, (B, 490), dtype=jnp.float32)
+
+    def grad_wrap(fn):
+        # the summed GRADIENTS feed the scan carry — feeding only the loss
+        # lets XLA dead-code-eliminate the whole backward pass
+        def f(a, s):
+            ga, gs = jax.grad(
+                lambda aa, ss: jnp.sum(fn(aa, ss)), argnums=(0, 1))(a, s)
+            return jnp.sum(ga) + jnp.sum(gs)
+        return f
+
+    for name, fn in (
+            ("zjz", lambda a, s: ops.block_wigner_apply_zjz(
+                a, s.reshape(B, 49, 10), 6)),
+            ("fused-bf16", lambda a, s: block_wigner_apply_fused_flat(
+                a, s, 6, interpret=False)),
+            ("fused-f32", lambda a, s: block_wigner_apply_fused_flat(
+                a, s, 6, compute_dtype=jnp.float32, interpret=False))):
+        t = timeit(grad_wrap(fn), angles, spec_flat)
+        print(f"  {name:12s} fwd+bwd {t:7.3f} ms")
 
     print("== block Wigner apply, serving scale (L=10, S=121, C=16) ==")
     for B in (1024, 4096):

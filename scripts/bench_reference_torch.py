@@ -1,0 +1,298 @@
+"""MEASURE the PyTorch reference implementation on this host (CPU).
+
+VERDICT r1 weak #7 / next-step #5: bench.py's vs_baseline compares against
+an ESTIMATED 30 steps/s for the reference's original 2018 GPU. The
+reference itself runs here (the parity suite already imports it), so this
+script measures it directly — the BASELINE configs' steps/s on this
+host's CPU (the only hardware both implementations share), giving the
+comparison table one *measured* reference column next to the estimate.
+
+It also closes VERDICT next-step #4 (Blender-parity at the pixel level):
+with --train_steps N it trains the reference flagship config on THIS
+repo's ray-cast spherecube renders — the reference model learning
+normally from our renders (matching recon trajectory at matched step
+counts, final small-scale IW-LL) demonstrates the datasets are
+interchangeable at the pixels, not just the loader/label level.
+
+External deps are stubbed exactly as in tests/test_torch_parity.py:
+lie_learn's Jd tables come from this repo's generated ops/jd_tables.npz,
+lie_learn's quaternion->matrix change_coordinates from the repo's own
+loader math (pinned against the reference convention by
+tests/test_data.py), and hyperspherical_vae with an inert import stub.
+
+Usage:
+  python scripts/bench_reference_torch.py                    # 5-config steps/s
+  python scripts/bench_reference_torch.py --configs 4 --train_steps 600
+"""
+import argparse
+import json
+import math
+import os
+import sys
+import time
+import types
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REFERENCE = "/root/reference"
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def install_stubs():
+    from lie_vae_tpu.data._np_ops import quaternions_to_group_matrix_np
+
+    dense_name = ("lie_learn.representations.SO3.pinchon_hoggan."
+                  "pinchon_hoggan_dense")
+    if dense_name not in sys.modules:
+        tables = np.load(os.path.join(_REPO, "lie_vae_tpu", "ops",
+                                      "jd_tables.npz"))
+        Jd = [tables[f"J{l}"].astype(np.float64)
+              for l in range(int(tables["lmax"]) + 1)]
+        for name in ("lie_learn", "lie_learn.representations",
+                     "lie_learn.representations.SO3",
+                     "lie_learn.representations.SO3.pinchon_hoggan",
+                     dense_name, "lie_learn.groups",
+                     "lie_learn.groups.SO3"):
+            sys.modules.setdefault(name, types.ModuleType(name))
+        sys.modules[dense_name].Jd = Jd
+
+        def change_coordinates(q, p_from, p_to):
+            assert (p_from, p_to) == ("Q", "MAT"), (p_from, p_to)
+            return quaternions_to_group_matrix_np(np.asarray(q))
+
+        sys.modules["lie_learn.groups.SO3"].change_coordinates = \
+            change_coordinates
+
+    if "hyperspherical_vae_pytorch.distributions" not in sys.modules:
+        hs = types.ModuleType("hyperspherical_vae_pytorch")
+        hs_d = types.ModuleType("hyperspherical_vae_pytorch.distributions")
+
+        class _Unused:
+            def __init__(self, *a, **k):
+                raise NotImplementedError("vmf stub")
+
+        hs_d.VonMisesFisher = _Unused
+        hs_d.HypersphericalUniform = _Unused
+        sys.modules["hyperspherical_vae_pytorch"] = hs
+        sys.modules["hyperspherical_vae_pytorch.distributions"] = hs_d
+
+
+def build(config_name, torch):
+    """Reference model + datasets for a BASELINE config (same shapes as
+    scripts/run_baseline_configs.py; reference defaults from
+    lie_vae/experiments/main.py:30-35,166-171)."""
+    from lie_vae.experiments import datasets as ref_data
+    from lie_vae.experiments.utils import random_split
+    from lie_vae.experiments.vae import VAE
+
+    common_img = dict(encode_mode="conv", deconv_mode="deconv", rgb=True,
+                      degrees=6, rep_copies=10, deconv_hidden=200,
+                      batch_norm=True)
+    batch_size = 64
+
+    if config_name == "1-toy-so3-ae":
+        tensors = ref_data.ToyDataset.generate(n=4096, degrees=6,
+                                               rep_copies=10)
+        ds = ref_data.ToyDataset(tensors=tensors.tensors)
+        nv = 512
+        valid, _, train = random_split(ds, [nv, nv, len(ds) - 2 * nv])
+        harmonics = tensors.tensors[1][0]
+        model = VAE(latent_mode="so3", decoder_mode="action",
+                    mean_mode="alg", encode_mode="toy", deconv_mode="toy",
+                    degrees=6, rep_copies=10, deterministic=True,
+                    item_rep=harmonics)
+        return model, train, valid, batch_size, 0.0
+    if config_name == "5-full-regularized":
+        ds = ref_data.ScPairsDataset()
+        nv = max(8, len(ds) // 5)
+        valid, _, train = random_split(ds, [nv, nv, len(ds) - 2 * nv])
+        model = VAE(latent_mode="so3", decoder_mode="action",
+                    mean_mode="s2s2", **common_img)
+        return model, train, valid, 32, 1.0
+
+    ds = ref_data.SphereCubeDataset()
+    nv = max(16, len(ds) // 5)
+    valid, _, train = random_split(ds, [nv, nv, len(ds) - 2 * nv])
+    if config_name == "2-spherecube-normal-mlp":
+        model = VAE(latent_mode="normal", decoder_mode="mlp",
+                    normal_dims=30, **common_img)
+    elif config_name == "3-spherecube-so3-mlp":
+        model = VAE(latent_mode="so3", decoder_mode="mlp",
+                    mean_mode="s2s2", **common_img)
+    elif config_name == "4-spherecube-so3-action":
+        model = VAE(latent_mode="so3", decoder_mode="action",
+                    mean_mode="s2s2", **common_img)
+    else:
+        raise ValueError(config_name)
+    return model, train, valid, batch_size, 1.0
+
+
+def loader(torch, dataset, batch_size, shuffle):
+    return torch.utils.data.DataLoader(
+        dataset, batch_size=batch_size, shuffle=shuffle, drop_last=shuffle,
+        num_workers=0)       # single-core host: workers only add overhead
+
+
+def train_step(torch, model, optimizer, batch, beta, prep, losses=None,
+               it=0):
+    """One reference optimizer step (unsupervised.py:72-117 semantics)."""
+    batch = prep(batch)
+    _, _, img = batch[0], batch[1], batch[2]
+    if beta == 0.0:
+        # reference beta==0 path (unsupervised.py:80-83)
+        recon = model.recon_loss(model(img), img)
+        loss = recon.mean()
+        kl_sum = torch.zeros(())
+    else:
+        recon, kl_sum, kls = model.elbo(img)
+        loss = (recon + beta * kl_sum).mean()
+    if losses:
+        # (unsupervised.py:100-106) equivariance takes (img, enc, it),
+        # continuity takes (enc, it)
+        encoding = model.z[0][0]
+        eq_loss, cont_loss = losses
+        loss = loss + eq_loss(img, encoding, it) \
+                    + cont_loss(encoding, it)
+    optimizer.zero_grad()
+    loss.backward()
+    torch.nn.utils.clip_grad_norm_(model.parameters(), 1e-5)
+    optimizer.step()
+    return float(recon.mean()), float(kl_sum.mean())
+
+
+def eval_recon(torch, model, valid, batch_size, prep):
+    model.eval()
+    tot, n = 0.0, 0
+    with torch.no_grad():
+        for batch in loader(torch, valid, batch_size, False):
+            batch = prep(batch)
+            img = batch[2]
+            recon, _, _ = model.elbo(img)
+            tot += float(recon.sum())
+            n += recon.shape[0]
+    model.train()
+    return tot / max(n, 1)
+
+
+def iw_ll(torch, model, valid, n_items, n_samples):
+    model.eval()
+    vals = []
+    with torch.no_grad():
+        for i in range(min(n_items, len(valid))):
+            _, _, img = valid[i]
+            vals.append(float(model.log_likelihood(img[None], n_samples)))
+    model.train()
+    return float(np.mean(vals))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--configs", nargs="*",
+                   default=["1", "2", "3", "4", "5"])
+    p.add_argument("--measure_steps", type=int, default=15)
+    p.add_argument("--warmup_steps", type=int, default=3)
+    p.add_argument("--train_steps", type=int, default=0,
+                   help="extended training for pixel-parity evidence")
+    p.add_argument("--eval_every", type=int, default=100)
+    p.add_argument("--ll_items", type=int, default=32)
+    p.add_argument("--ll_samples", type=int, default=100)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default=None, help="append JSON lines here")
+    args = p.parse_args(argv)
+
+    install_stubs()
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    import torch
+
+    # Reference bug (also shimmed by tests/test_torch_parity.py:300-308):
+    # VAE.decode always passes z_content (vae.py:190) but ActionNet.forward
+    # only accepts angles (decoders.py:47) -> TypeError. Shim the intent.
+    import lie_vae.decoders as ref_decoders
+    _orig_action_fwd = ref_decoders.ActionNet.forward
+    ref_decoders.ActionNet.forward = \
+        lambda self, angles, content=None: _orig_action_fwd(self, angles)
+    torch.manual_seed(args.seed)
+    np.random.seed(args.seed)
+
+    names = {c.split("-")[0]: c for c in (
+        "1-toy-so3-ae", "2-spherecube-normal-mlp", "3-spherecube-so3-mlp",
+        "4-spherecube-so3-action", "5-full-regularized")}
+    results = {}
+    for key in args.configs:
+        name = names[key]
+        model, train, valid, batch_size, beta = build(name, torch)
+        prep = getattr(train, "prep_batch",
+                       getattr(train.dataset, "prep_batch", lambda b: b)) \
+            if hasattr(train, "dataset") else train.prep_batch
+        optimizer = torch.optim.Adam(model.parameters(), lr=1e-3)
+        model.r_callback = None    # reference bug: never assigned (vae.py:137)
+
+        losses = None
+        if name == "5-full-regularized":
+            from lie_vae.losses.equivariance_loss import EquivarianceLoss
+            from lie_vae.losses.encoder_continuity_loss import \
+                EncoderContinuityLoss
+            from lie_vae.experiments.utils import LinearSchedule
+            losses = [EquivarianceLoss(
+                          model, lamb=LinearSchedule(0, 100, 10, 1000)),
+                      EncoderContinuityLoss(
+                          model, lamb=LinearSchedule(0, 3000, 10, 1000))]
+
+        dl = loader(torch, train, batch_size, True)
+        it = iter(dl)
+
+        def next_batch():
+            nonlocal it
+            try:
+                return next(it)
+            except StopIteration:
+                it = iter(dl)
+                return next(it)
+
+        for _ in range(args.warmup_steps):
+            train_step(torch, model, optimizer, next_batch(), beta, prep,
+                       losses)
+        t0 = time.perf_counter()
+        for step in range(args.measure_steps):
+            train_step(torch, model, optimizer, next_batch(), beta, prep,
+                       losses, it=step)
+        dt = time.perf_counter() - t0
+        sps = args.measure_steps / dt
+        res = {"config": name, "torch_cpu_steps_per_sec": round(sps, 2),
+               "batch_size": batch_size, "host_cores": os.cpu_count()}
+        print(json.dumps(res), flush=True)
+        results[name] = res
+
+        if args.train_steps and key == "4":
+            curve = []
+            t0 = time.perf_counter()
+            for step in range(args.train_steps):
+                recon, kl = train_step(torch, model, optimizer,
+                                       next_batch(), beta, prep, losses,
+                                       it=step)
+                if (step + 1) % args.eval_every == 0 or \
+                        step + 1 == args.train_steps:
+                    v = eval_recon(torch, model, valid, batch_size, prep)
+                    curve.append({"step": step + 1 + args.warmup_steps
+                                  + args.measure_steps,
+                                  "valid_recon": round(v, 2)})
+                    print(json.dumps(curve[-1]), flush=True)
+            ll = iw_ll(torch, model, valid, args.ll_items, args.ll_samples)
+            res.update(train_wall_s=round(time.perf_counter() - t0, 1),
+                       curve=curve,
+                       iw_ll={"items": args.ll_items,
+                              "samples": args.ll_samples,
+                              "value": round(ll, 2)})
+            print(json.dumps(res), flush=True)
+
+    if args.out:
+        with open(args.out, "a") as f:
+            for r in results.values():
+                f.write(json.dumps(r) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -187,3 +187,116 @@ def test_kernel_ops_reusable_across_jits(key):
     out3 = jax.jit(g)(v, sigma)
     out4 = jax.jit(lambda vv, ss: g(vv, ss) * 2.0)(v, sigma)
     assert jnp.isfinite(out3) and jnp.isfinite(out4)
+
+
+# ------------------------------------------------- fused zjz-chain kernel
+
+from lie_vae_tpu.ops.kernels import (  # noqa: E402
+    block_wigner_apply_fused_flat, block_wigner_matrix_multiply_fused)
+
+
+@pytest.mark.parametrize("L,B,C", [(3, 11, 4), (6, 37, 10)])
+@pytest.mark.parametrize("transpose", [False, True])
+def test_fused_wigner_matches_zjz(key, L, B, C, transpose):
+    k1, k2 = jax.random.split(key)
+    angles = ops.group_matrix_to_eazyz(
+        ops.random_group_matrices(k1, B)).astype(jnp.float32)
+    S = (L + 1) ** 2
+    spec = jax.random.normal(k2, (B, S, C), dtype=jnp.float32)
+    ref = ops.block_wigner_apply_zjz(angles, spec, L, transpose=transpose)
+    out = block_wigner_matrix_multiply_fused(
+        angles, spec, L, transpose=transpose,
+        compute_dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+    # bf16 compute: same value in the TPU-default-matmul-precision class
+    out_bf = block_wigner_matrix_multiply_fused(
+        angles, spec, L, transpose=transpose, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_bf), np.asarray(ref),
+                               atol=0.1, rtol=0.05)
+
+
+def test_fused_wigner_flat_layout_is_reshape(key):
+    """The flat entry point's s-major/c-minor lane order must equal the
+    (B, S, C) reshape — the model's decoder flattens with that order."""
+    k1, k2 = jax.random.split(key)
+    B, L, C = 9, 4, 3
+    S = (L + 1) ** 2
+    angles = ops.group_matrix_to_eazyz(
+        ops.random_group_matrices(k1, B)).astype(jnp.float32)
+    spec = jax.random.normal(k2, (B, S, C), dtype=jnp.float32)
+    out3 = block_wigner_matrix_multiply_fused(
+        angles, spec, L, compute_dtype=jnp.float32, interpret=True)
+    flat = block_wigner_apply_fused_flat(
+        angles, spec.reshape(B, -1), L, compute_dtype=jnp.float32,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(flat),
+                               np.asarray(out3).reshape(B, -1), atol=1e-6)
+
+
+@pytest.mark.parametrize("transpose", [False, True])
+def test_fused_wigner_grads_match_zjz(key, transpose):
+    k1, k2, k3 = jax.random.split(key, 3)
+    B, L, C = 13, 6, 10
+    angles = ops.group_matrix_to_eazyz(
+        ops.random_group_matrices(k1, B)).astype(jnp.float32)
+    spec = jax.random.normal(k2, (B, 49, C), dtype=jnp.float32)
+    w = jax.random.normal(k3, (B, 49, C), dtype=jnp.float32)
+
+    def loss(fn):
+        return lambda a, s: jnp.sum(fn(a, s) * w)
+
+    ga_r, gs_r = jax.grad(
+        loss(lambda a, s: ops.block_wigner_apply_zjz(
+            a, s, L, transpose=transpose)), argnums=(0, 1))(angles, spec)
+    ga_f, gs_f = jax.grad(
+        loss(lambda a, s: block_wigner_matrix_multiply_fused(
+            a, s, L, transpose=transpose, compute_dtype=jnp.float32,
+            interpret=True)), argnums=(0, 1))(angles, spec)
+    np.testing.assert_allclose(np.asarray(ga_f), np.asarray(ga_r),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gs_f), np.asarray(gs_r),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_fused_wigner_grad_shared_spectrum(key):
+    """Broadcast (S, C) spectrum: gradient must sum over the batch."""
+    k1, k2 = jax.random.split(key)
+    B, L, C = 17, 3, 4
+    S = (L + 1) ** 2
+    angles = ops.group_matrix_to_eazyz(
+        ops.random_group_matrices(k1, B)).astype(jnp.float32)
+    spec = jax.random.normal(k2, (S, C), dtype=jnp.float32)
+    g_r = jax.grad(lambda s: jnp.sum(
+        ops.block_wigner_apply_zjz(angles, s, L) ** 2))(spec)
+    g_f = jax.grad(lambda s: jnp.sum(block_wigner_matrix_multiply_fused(
+        angles, s, L, compute_dtype=jnp.float32, interpret=True) ** 2))(spec)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_r),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_fused_wigner_rejects_oversized_rep():
+    from lie_vae_tpu.ops.kernels import MAX_FUSED_SC
+    angles = jnp.zeros((2, 3))
+    spec = jnp.zeros((2, 121, 16))   # S*C = 1936 > MAX_FUSED_SC
+    assert 121 * 16 > MAX_FUSED_SC
+    with pytest.raises(AssertionError, match="fused Wigner"):
+        block_wigner_matrix_multiply_fused(angles, spec, 10, interpret=True)
+
+
+def test_wigner_impl_auto_dispatch(key):
+    """impl='auto' uses the fused kernel when the rep fits VMEM and falls
+    back to zjz above MAX_FUSED_SC; both give the zjz value."""
+    k1, k2 = jax.random.split(key)
+    angles = ops.group_matrix_to_eazyz(
+        ops.random_group_matrices(k1, 5)).astype(jnp.float32)
+    spec = jax.random.normal(k2, (5, 49, 10), dtype=jnp.float32)
+    ref = ops.block_wigner_apply_zjz(angles, spec, 6)
+    out = ops.block_wigner_matrix_multiply(angles, spec, 6, impl="auto")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=0.1, rtol=0.05)
+    big = jax.random.normal(k2, (5, 121, 16), dtype=jnp.float32)
+    ref = ops.block_wigner_apply_zjz(angles, big, 10)
+    out = ops.block_wigner_matrix_multiply(angles, big, 10, impl="auto")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
