@@ -3,47 +3,57 @@
 This is the chain `ops.block_wigner_apply_zjz` evaluates with XLA ops
 (reference semantics: lie_vae/lie_tools.py:226-253), implemented as ONE
 kernel so the four chain intermediates never round-trip through HBM —
-the XLA path materializes each stage (6+ passes over (B, S, C) buffers),
-which is where its measured 7.6x gap to the bytes bound comes from
-(BENCHMARKS.md r1 kernel table).
+the XLA path materializes each stage (6+ passes over (B, S, C) buffers).
 
 Layout and algebra
 ------------------
 The spectrum rides FLAT: (B, S*C) with s-major/c-minor lanes — exactly the
-reshape of (B, S, C), so S*C = 490 pads to 512 lanes (4% tax) instead of
-(B, 49, 10) padding its minor dims to (56, 128) (26x tax). With the
-z-rotation written as Z(t) x = c_t (.) x + s_t (.) (P x) (P = block-local
-index reversal, c/s = cos/sin(f_i t)) and the identity s (.) Px =
--P(s (.) x), each J-stage becomes two dots against CONSTANT matrices:
+reshape of (B, S, C), so S*C = 490 pads to 512 lanes (4% tax) and matches
+the measured-best HBM copy bandwidth of the candidate layouts
+(scripts/bench_sol.py). With the z-rotation written as
+Z(t) x = c_t (.) x + s_t (.) (P x) (P = block-local index reversal,
+c/s = cos/sin(f_i t)) and the identity s (.) Px = -P(s (.) x), each
+J-stage becomes two dots against CONSTANT matrices:
 
     J Z(t) x = J (c (.) x) - (J P) (s (.) x)
 
 and the final Z(a) needs both z = J Z(b) y and P z, giving the chain
 
     y  = (cg.x) Jt - (sg.x) Kt          J~ = (J  kron I_C), K~ = (J P kron I_C)
-    z  = (cb.y) Jt - (sb.y) Kt          (P J kron I_C), (P J P kron I_C)
+    z  = (cb.y) Jt - (sb.y) Kt          PJ~ = (P J kron I_C), PK~ = ...
     pz = (cb.y) PJt - (sb.y) PKt        for the P z path
     out = ca.z + sa.pz
 
-— 6 MXU dots of (block_b, SC) x (SC, SC) per block with all elementwise
-work (trig synthesis from the raw angles included) on the VPU in VMEM.
-The Kronecker-with-I_C constants cost a factor C in MACs over the minimal
-2-matmul algorithm, which bf16 inputs (f32 accumulation — the same
-numeric class as the XLA path at TPU-default matmul precision) make
-nearly free; compute_dtype=float32 is available for strict-precision use.
+— 6 MXU dots of (block_b, SC) x (SC, SC) per block. The Kronecker-with-I_C
+constants cost a factor C in MACs over the minimal 2-matmul algorithm,
+which bf16 inputs (f32 accumulation — the same numeric class as the XLA
+path at TPU-default matmul precision) make cheap.
+
+Trig enters COMPACT (measured v1 lesson, BENCHMARKS.md): cos(f_i t) takes
+only |f_i| in {0..L} distinct values per angle, and the VPU's sin rate
+(~36 Gop/s measured) makes full-width (B, S*C) trig the dominant cost of
+a naive kernel. So the wrapper computes 2(L+1) trig FEATURES per angle in
+XLA (6(L+1) lanes total, ~0.6M transcendentals at B=8192 instead of 24M)
+and the kernel expands them to (block_b, S*C) with exact 0/+-1 selection
+dots against constant matrices Eca/Esa — MXU work, no wide trig anywhere.
 
 Backward pass (custom VJP) reuses the SAME kernel: dx = W^T dout is the
-chain with angles (-g, -b, -a), and the residual variant's saved stage
-intermediates (y, z forward; A, v backward) give the three angle
-gradients as cheap XLA row-reductions:
+chain with angles (-g, -b, -a), whose trig features are sign-flips of the
+forward features (no new trig), and whose saved stage intermediates
+(y, z forward; A = J Z(-a) dout, V = J Z(-b) A backward) give the
+feature cotangents as six XLA (B, SC) @ (SC, L+1) reductions:
 
-    da = sum_i dout f (ca (.) Pz - sa (.) z)      out = Z(a) z
-    db = sum_i A    f (cb (.) Py - sb (.) y)      A = J Z(-a) dout
-    dg = sum_i v    f (cg (.) Px - sg (.) x)      v = J Z(-b) J Z(-a) dout
+    d tc_a = (dout.z) Eca^T     d ts_a = (dout.Pz) Esa^T
+    d tc_b = (A.y)    Eca^T     d ts_b = -((PA).y) Esa^T
+    d tc_g = (V.x)    Eca^T     d ts_g = -((PV).x) Esa^T
 
-VMEM: 4 constants of (SC, SC) + ~10 (block_b, SC) live arrays; SC is
-capped at 724 (4 f32 constants = 8.4 MB) — the flagship L=6, C=10 has
-SC = 490. Larger reps fall back to the XLA zjz path at the dispatch site.
+Angle gradients then flow through the wrapper's (differentiable) feature
+computation automatically.
+
+VMEM: 4 (SC, SC) + 2 (L+1, SC) constants + ~10 (block_b, SC) live
+arrays; SC is capped at 724 (4 f32 constants ~ 8.4 MB of ~16 MB VMEM) —
+the flagship L=6, C=10 has SC = 490. Larger reps fall back to the XLA
+zjz path at the dispatch site.
 """
 import functools
 
@@ -60,16 +70,19 @@ MAX_FUSED_SC = 724   # 4 float32 (SC, SC) constants ~ 8.4 MB of ~16 MB VMEM
 
 @functools.lru_cache(maxsize=16)
 def _fused_consts(max_degree, channels, dtype_name):
-    """(f_exp, rev_exp, Jt, Kt, PJt, PKt) — numpy (lru_cached: jnp arrays
-    created while tracing would leak tracers across traces).
+    """(freqs, rev_exp, Eca, Esa, Jt, Kt, PJt, PKt) — numpy (lru_cached:
+    jnp arrays created while tracing would leak tracers across traces).
 
-    All four matmul constants are pre-transposed for row-vector dots
-    (x @ M means M = op^T), and pre-Kroneckered with I_C for the flat
-    s-major/c-minor lane layout.
+    The four matmul constants are pre-transposed for row-vector dots
+    (x @ M applies M^T on the left) and pre-Kroneckered with I_C for the
+    flat s-major/c-minor lane layout. Eca/Esa expand per-angle trig
+    features [cos(m t)]_m / [sin(m t)]_m, m in 0..L, to full-lane
+    cos(f_i t) / sin(f_i t) (sign(f_i) folded into Esa).
     """
     freqs, rev, _ = _coeffs(max_degree)
     J = _block_j(max_degree)                     # (S, S) float64
     S = J.shape[0]
+    L1 = max_degree + 1
     P = np.zeros((S, S))
     P[np.arange(S), rev] = 1.0                   # (P x)[i] = x[rev i]
     eye_c = np.eye(channels)
@@ -78,24 +91,52 @@ def _fused_consts(max_degree, channels, dtype_name):
     def pack(M):                                 # (M kron I_C)^T, compute dt
         return np.kron(M, eye_c).T.astype(dt)
 
-    f_exp = np.repeat(freqs, channels).astype(np.float32)[None, :]  # (1, SC)
+    f_exp = np.repeat(freqs, channels)                      # (SC,)
     rev_exp = (rev[:, None] * channels
                + np.arange(channels)[None, :]).reshape(-1).astype(np.int32)
-    return (f_exp, rev_exp, pack(J), pack(J @ P), pack(P @ J),
+    m_exp = np.abs(f_exp).astype(np.int64)
+    Eca = np.zeros((L1, S * channels))
+    Eca[m_exp, np.arange(S * channels)] = 1.0
+    Esa = np.zeros((L1, S * channels))
+    Esa[m_exp, np.arange(S * channels)] = np.sign(f_exp)
+    return (f_exp.astype(np.float32), rev_exp, Eca.astype(dt),
+            Esa.astype(dt), pack(J), pack(J @ P), pack(P @ J),
             pack(P @ J @ P))
 
 
-def _chain_kernel(ang_ref, fexp_ref, x_ref, jt_ref, kt_ref, pjt_ref,
-                  pkt_ref, out_ref, y_ref, z_ref, *, compute_dtype,
+def trig_features(angles, max_degree):
+    """(B, 6(L+1)) float32: [cos(m a), sin(m a), cos(m b), sin(m b),
+    cos(m g), sin(m g)] for m = 0..L — the kernel's compact trig input.
+    Differentiable; this is where angle gradients enter."""
+    angles = jnp.asarray(angles, jnp.float32).reshape(-1, 3)
+    m = jnp.arange(0, max_degree + 1, dtype=jnp.float32)
+    arg = angles[:, :, None] * m[None, None, :]         # (B, 3, L+1)
+    feats = jnp.stack([jnp.cos(arg), jnp.sin(arg)], axis=2)  # (B,3,2,L+1)
+    return feats.reshape(angles.shape[0], -1)
+
+
+def _reverse_features(T, L1):
+    """Features of the transposed chain (-g, -b, -a) from the forward
+    features: swap the a/g slots and negate every sin block."""
+    t = T.reshape(T.shape[0], 3, 2, L1)
+    t = t[:, ::-1]                                     # swap a <-> g
+    return jnp.concatenate(
+        [t[:, :, :1], -t[:, :, 1:]], axis=2).reshape(T.shape[0], -1)
+
+
+def _chain_kernel(t_ref, x_ref, eca_ref, esa_ref, jt_ref, kt_ref, pjt_ref,
+                  pkt_ref, out_ref, y_ref, z_ref, *, L1, compute_dtype,
                   save_residuals):
-    f = fexp_ref[:]                                   # (1, SC) f32
     x = x_ref[:]                                      # (bb, SC) f32
     cd = compute_dtype
 
-    def trig(col):
-        th = ang_ref[:, col:col + 1]                  # (bb, 1)
-        arg = th * f                                  # (bb, SC)
-        return jnp.cos(arg), jnp.sin(arg)
+    def expand(slot, which):
+        # slot: 0=a, 1=b, 2=g; which: 0=cos, 1=sin. Exact selection dot
+        # (0 / +-1 entries, one term per output lane).
+        off = (2 * slot + which) * L1
+        t = t_ref[:, off:off + L1].astype(cd)
+        e_ref = eca_ref if which == 0 else esa_ref
+        return jnp.dot(t, e_ref[:], preferred_element_type=jnp.float32)
 
     def jstage(c, s, h, m1_ref, m2_ref):
         u = (c * h).astype(cd)
@@ -103,23 +144,32 @@ def _chain_kernel(ang_ref, fexp_ref, x_ref, jt_ref, kt_ref, pjt_ref,
         return (jnp.dot(u, m1_ref[:], preferred_element_type=jnp.float32)
                 - jnp.dot(v, m2_ref[:], preferred_element_type=jnp.float32))
 
-    cg, sg = trig(2)
+    cg, sg = expand(2, 0), expand(2, 1)
     y = jstage(cg, sg, x, jt_ref, kt_ref)             # J Z(g) x
-    cb, sb = trig(1)
+    cb, sb = expand(1, 0), expand(1, 1)
     z = jstage(cb, sb, y, jt_ref, kt_ref)             # J Z(b) y
     pz = jstage(cb, sb, y, pjt_ref, pkt_ref)          # P (J Z(b) y)
-    ca, sa = trig(0)
+    ca, sa = expand(0, 0), expand(0, 1)
     out_ref[:] = ca * z + sa * pz                     # Z(a) z
     if save_residuals:
         y_ref[:] = y
         z_ref[:] = z
 
 
+def _plain_kernel(t_ref, x_ref, eca_ref, esa_ref, jt_ref, kt_ref, pjt_ref,
+                  pkt_ref, out_ref, *, L1, compute_dtype):
+    _chain_kernel(t_ref, x_ref, eca_ref, esa_ref, jt_ref, kt_ref, pjt_ref,
+                  pkt_ref, out_ref, None, None, L1=L1,
+                  compute_dtype=compute_dtype, save_residuals=False)
+
+
 @functools.lru_cache(maxsize=32)
 def _chain_call(L, C, block_b, compute_dtype_name, save_residuals,
                 interpret):
-    f_exp, _, Jt, Kt, PJt, PKt = _fused_consts(L, C, compute_dtype_name)
+    _, _, Eca, Esa, Jt, Kt, PJt, PKt = _fused_consts(L, C,
+                                                     compute_dtype_name)
     SC = Jt.shape[0]
+    L1 = L + 1
     cd = jnp.dtype(compute_dtype_name)
 
     def batch_spec(cols):
@@ -130,15 +180,16 @@ def _chain_call(L, C, block_b, compute_dtype_name, save_residuals,
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
-    in_specs = [batch_spec(3), const_spec((1, SC)), batch_spec(SC),
+    in_specs = [batch_spec(6 * L1), batch_spec(SC),
+                const_spec((L1, SC)), const_spec((L1, SC)),
                 const_spec((SC, SC)), const_spec((SC, SC)),
                 const_spec((SC, SC)), const_spec((SC, SC))]
 
     if save_residuals:
-        def call(angles, x):
+        def call(T, x):
             Bp = x.shape[0]
             return pl.pallas_call(
-                functools.partial(_chain_kernel, compute_dtype=cd,
+                functools.partial(_chain_kernel, L1=L1, compute_dtype=cd,
                                   save_residuals=True),
                 out_shape=tuple(jax.ShapeDtypeStruct((Bp, SC), jnp.float32)
                                 for _ in range(3)),
@@ -146,71 +197,65 @@ def _chain_call(L, C, block_b, compute_dtype_name, save_residuals,
                 in_specs=in_specs,
                 out_specs=tuple(batch_spec(SC) for _ in range(3)),
                 interpret=interpret,
-            )(angles, f_exp, x, Jt, Kt, PJt, PKt)
+            )(T, x, Eca, Esa, Jt, Kt, PJt, PKt)
         return call
 
-    def call_plain(angles, x):
+    def call_plain(T, x):
         Bp = x.shape[0]
         return pl.pallas_call(
-            functools.partial(_plain_kernel, compute_dtype=cd),
+            functools.partial(_plain_kernel, L1=L1, compute_dtype=cd),
             out_shape=jax.ShapeDtypeStruct((Bp, SC), jnp.float32),
             grid=(Bp // block_b,),
             in_specs=in_specs,
             out_specs=batch_spec(SC),
             interpret=interpret,
-        )(angles, f_exp, x, Jt, Kt, PJt, PKt)
+        )(T, x, Eca, Esa, Jt, Kt, PJt, PKt)
 
     return call_plain
 
 
-def _plain_kernel(ang_ref, fexp_ref, x_ref, jt_ref, kt_ref, pjt_ref,
-                  pkt_ref, out_ref, *, compute_dtype):
-    _chain_kernel(ang_ref, fexp_ref, x_ref, jt_ref, kt_ref, pjt_ref,
-                  pkt_ref, out_ref, None, None,
-                  compute_dtype=compute_dtype, save_residuals=False)
-
-
 @functools.lru_cache(maxsize=32)
 def _make_fused_op(L, C, block_b, compute_dtype_name, interpret):
-    """custom_vjp op over (angles (Bp, 3) f32, x (Bp, SC) f32) — Bp already
-    padded to a block_b multiple. Returns out (Bp, SC) f32."""
-    f_exp_np, rev_exp_np, *_ = _fused_consts(L, C, compute_dtype_name)
+    """custom_vjp op over (T (Bp, 6(L+1)) trig features, x (Bp, SC)) —
+    Bp already padded to a block_b multiple. Returns out (Bp, SC) f32."""
+    _, rev_exp_np, Eca, Esa, *_ = _fused_consts(L, C, compute_dtype_name)
+    L1 = L + 1
     plain = _chain_call(L, C, block_b, compute_dtype_name, False, interpret)
     with_res = _chain_call(L, C, block_b, compute_dtype_name, True,
                            interpret)
-
-    def rev_angles(angles):
-        # W(a,b,g)^T = W-chain at (-g, -b, -a): Z^T = Z(-t), J^T = J
-        return -angles[:, ::-1]
+    EcaT = Eca.T.astype(np.float32)          # (SC, L+1)
+    EsaT = Esa.T.astype(np.float32)
 
     @jax.custom_vjp
-    def op(angles, x):
-        return plain(angles, x)
+    def op(T, x):
+        return plain(T, x)
 
-    def op_fwd(angles, x):
-        out, y, z = with_res(angles, x)
-        return out, (angles, x, y, z)
+    def op_fwd(T, x):
+        out, y, z = with_res(T, x)
+        return out, (T, x, y, z)
 
     def op_bwd(res, dout):
-        angles, x, y, z = res
-        # one fused call: dx = W^T dout, with residuals A = J Z(-a) dout
-        # and v = J Z(-b) J Z(-a) dout (stage intermediates of that chain)
-        dx, A, v = with_res(rev_angles(angles), dout)
+        T, x, y, z = res
+        # one fused call evaluates the transposed chain on dout, yielding
+        # dx plus the backward stage intermediates A, V (see module doc)
+        dx, A, V = with_res(_reverse_features(T, L1), dout)
 
-        f = jnp.asarray(f_exp_np)                          # (1, SC)
         rev_exp = jnp.asarray(rev_exp_np)
+        eca_t = jnp.asarray(EcaT)
+        esa_t = jnp.asarray(EsaT)
 
-        def dangle(coeff, th, h):
-            # sum_i coeff * f * (cos(f th) (.) Ph - sin(f th) (.) h)
-            arg = th[:, None] * f
-            ph = jnp.take(h, rev_exp, axis=1)
-            return jnp.sum(coeff * f * (jnp.cos(arg) * ph
-                                        - jnp.sin(arg) * h), axis=1)
+        def prow(h):
+            return jnp.take(h, rev_exp, axis=1)
 
-        da = dangle(dout, angles[:, 0], z)
-        db = dangle(A, angles[:, 1], y)
-        dg = dangle(v, angles[:, 2], x)
-        return jnp.stack([da, db, dg], axis=-1), dx
+        def block(coeff, h, e_t, sign=1.0):
+            return sign * jnp.dot(coeff * h, e_t)        # (B, L+1)
+
+        dT = jnp.concatenate([
+            block(dout, z, eca_t), block(dout, prow(z), esa_t),
+            block(A, y, eca_t), block(prow(A), y, esa_t, -1.0),
+            block(V, x, eca_t), block(prow(V), x, esa_t, -1.0),
+        ], axis=1)
+        return dT, dx
 
     op.defvjp(op_fwd, op_bwd)
     return op
@@ -229,7 +274,8 @@ def block_wigner_apply_fused_flat(angles, spectrum_flat, max_degree,
     Same value as ops.block_wigner_apply_zjz on the reshaped input
     (reference semantics lie_vae/lie_tools.py:226-253); with the default
     bfloat16 compute it matches to TPU-default-matmul-precision class,
-    with compute_dtype=float32 to ~1e-6.
+    with compute_dtype=float32 to Mosaic-f32-dot precision (~1e-6 in
+    interpret mode; pinned by tests/test_kernels.py).
     """
     angles = jnp.asarray(angles, jnp.float32).reshape((-1, 3))
     B = angles.shape[0]
@@ -250,15 +296,17 @@ def block_wigner_apply_fused_flat(angles, spectrum_flat, max_degree,
     if transpose:
         angles = -angles[:, ::-1]
 
+    T = trig_features(angles, max_degree)
+
     block_b = min(block_b, max(8, 1 << (B - 1).bit_length()))
     pad = (-B) % block_b
     if pad:
-        angles = jnp.pad(angles, ((0, pad), (0, 0)))
+        T = jnp.pad(T, ((0, pad), (0, 0)))
         spectrum_flat = jnp.pad(spectrum_flat, ((0, pad), (0, 0)))
 
-    op = _make_fused_op(max_degree, C, block_b, jnp.dtype(compute_dtype).name,
-                        interpret)
-    return op(angles, spectrum_flat)[:B]
+    op = _make_fused_op(max_degree, C, block_b,
+                        jnp.dtype(compute_dtype).name, interpret)
+    return op(T, spectrum_flat)[:B]
 
 
 def block_wigner_matrix_multiply_fused(angles, spectrum, max_degree,

@@ -254,13 +254,14 @@ def block_wigner_matrix_multiply(angles, spectrum, max_degree,
       - angles   (B, 3) ZYZ Euler angles
       - spectrum (B, S, C) or (S, C) Fourier modes, S = (max_degree+1)^2
       - transpose: apply the transposed representation matrices
-      - impl: 'fused' (default on TPU via 'auto' — the factored chain as
-        ONE Pallas kernel, intermediates never leave VMEM; bf16 matmuls
-        with f32 accumulation, the same numeric class as XLA at TPU-default
-        matmul precision) | 'zjz' (the factored chain in XLA ops — the
-        fastest non-Pallas path, and the fallback when S*C exceeds the
-        fused kernel's VMEM constant budget) | 'xla' (alias of 'zjz') |
-        'auto' (fused where eligible, else zjz) | 'dense' (synthesize the
+      - impl: 'fused' (the factored chain as ONE Pallas kernel,
+        intermediates never leave VMEM; bf16 matmuls with f32
+        accumulation, the same numeric class as XLA at TPU-default matmul
+        precision; fastest measured at B >= ~2k) | 'zjz' (the factored
+        chain in XLA ops — fastest at small B where the dispatch floor
+        dominates, and the fallback when S*C exceeds the fused kernel's
+        VMEM constant budget) | 'xla' (alias of 'zjz') | 'auto' (picks
+        fused vs zjz by the measured crossover) | 'dense' (synthesize the
         full W then one batched matmul; for callers who also want W's
         structure) | 'pallas' (the older per-sample synthesize+apply
         kernel, kept for comparison — zjz beats it)
@@ -277,8 +278,12 @@ def block_wigner_matrix_multiply(angles, spectrum, max_degree,
         from lie_vae_tpu.ops.kernels import MAX_FUSED_SC
         S = (max_degree + 1) ** 2
         SC = spectrum.shape[-1] * S if spectrum.ndim >= 2 else None
+        B = jnp.asarray(angles).reshape(-1, 3).shape[0]
+        # measured crossover (scripts/bench_kernels.py): below ~2k rows
+        # both paths sit on the dispatch floor and zjz is marginally
+        # ahead; at large B the fused kernel wins
         impl = ("fused" if SC is not None and SC <= MAX_FUSED_SC
-                else "zjz")
+                and B >= 2048 else "zjz")
     if impl in ("zjz", "xla"):
         return block_wigner_apply_zjz(angles, spectrum, max_degree,
                                       transpose=transpose)

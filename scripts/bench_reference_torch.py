@@ -169,9 +169,9 @@ def eval_recon(torch, model, valid, batch_size, prep):
         for batch in loader(torch, valid, batch_size, False):
             batch = prep(batch)
             img = batch[2]
-            recon, _, _ = model.elbo(img)
-            tot += float(recon.sum())
-            n += recon.shape[0]
+            recon, _, _ = model.elbo(img)     # (n_samples, B)
+            tot += float(recon.sum()) / recon.shape[0]
+            n += recon.shape[1]               # items, not sample rows
     model.train()
     return tot / max(n, 1)
 

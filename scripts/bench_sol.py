@@ -132,22 +132,26 @@ def main():
     print("-- block-Wigner apply, L=6 C=10 B=8192 (S=49, SC=490) --")
     B, S, C = 8192, 49, 10
     SC = S * C
-    t_bytes = 2 * B * SC * 4 / (bw_flat * 1e9) * 1e3
-    # minimal algorithm = 2 block-J matmuls over the spectrum; the fused
-    # chain needs z AND its reversal -> 6 Kronecker dots at lane-padded 512
-    t_flop_min = 2 * 2 * B * S * S * C / (tf_f32d * 1e12) * 1e3
-    t_flop_kron = 6 * 2 * B * 512 * 512 / (tf_bf16 * 1e12) * 1e3
-    t_trig = 6 * B * SC / (r_sin * 1e9) * 1e3
-    print(f"  bytes (flat layout, measured BW): {t_bytes:7.4f} ms")
-    print(f"  flops minimal (2 J-matmuls, f32): {t_flop_min:7.4f} ms")
-    print(f"  flops fused-kron (6 dots, bf16):  {t_flop_kron:7.4f} ms")
-    print(f"  trig (6 sin/cos per lane):        {t_trig:7.4f} ms")
+    t_bytes = 2 * B * SC * 4 / (bw_big * 1e9) * 1e3
+    # minimal algorithm = 2 block-J matmuls over the spectrum
+    t_flop_min = 2 * 2 * B * S * S * C / (tf_bf16 * 1e12) * 1e3
+    # the shipped fused kernel (ops/kernels/wigner_fused.py): compact trig
+    # (6 (L+1)-wide features, expanded in-kernel) + 6 Kronecker main dots
+    # + 6 selection-expansion dots, all bf16->f32 on lane-padded 512
+    L = 6
+    t_flop_v2 = ((6 * 2 * B * 512 * 512 + 6 * 2 * B * 128 * 512)
+                 / (tf_peak * 1e12) * 1e3)
+    t_trig_v2 = 6 * B * (L + 1) / (r_sin * 1e9) * 1e3
+    print(f"  bytes (in+out at big-copy BW):    {t_bytes:7.4f} ms")
+    print(f"  flops minimal (2 J-matmuls):      {t_flop_min:7.4f} ms")
+    print(f"  flops fused kernel (12 dots @peak): {t_flop_v2:7.4f} ms")
+    print(f"  trig (compact features, XLA-side): {t_trig_v2:7.4f} ms")
     sol_min = max(t_bytes, t_flop_min)
-    sol_kron = max(t_bytes, t_flop_kron, t_trig)
+    sol_v2 = max(t_bytes, t_flop_v2, t_trig_v2)
     print(f"  => SoL (algorithm-free lower bound) = {sol_min:7.4f} ms "
           f"(+floor: {sol_min + floor_ms:7.4f})")
-    print(f"  => SoL (fused-kron design bound)    = {sol_kron:7.4f} ms "
-          f"(+floor: {sol_kron + floor_ms:7.4f})")
+    print(f"  => SoL (shipped fused design bound) = {sol_v2:7.4f} ms "
+          f"(+floor: {sol_v2 + floor_ms:7.4f})")
 
     print("-- wrapped 21-shell log-density, N=524288 --")
     N, shells = 524288, 21
@@ -157,9 +161,13 @@ def main():
     t_bytes = (2 * 3 * N * 4 + N * 4) / (bw_big * 1e9) * 1e3
     # per element: `shells` exps + 1 cos + 2 logs (+ sqrt, divisions)
     t_transc = (N * (shells / r_exp + 1 / r_sin + 2 / r_log) / 1e9) * 1e3
-    sol_d = max(t_bytes, t_transc)
+    # plus the shell-expanded elementwise work: ~8 VPU ops per shell per
+    # element (shift, square, clamp, 3-op exp argument, product, reduce)
+    t_vpu = N * 8 * shells / (r_mul * 1e9) * 1e3
+    sol_d = max(t_bytes, t_transc, t_vpu)
     print(f"  bytes (big-copy measured BW):     {t_bytes:7.4f} ms")
     print(f"  transcendental (21 exp + cos + 2 log): {t_transc:7.4f} ms")
+    print(f"  VPU elementwise (~8 ops x 21 shells):  {t_vpu:7.4f} ms")
     print(f"  => SoL = {sol_d:7.4f} ms (+floor: {sol_d + floor_ms:7.4f})")
 
 

@@ -69,15 +69,23 @@ def build_step(scan_k):
     return jax.jit(multi_step, donate_argnums=0), state, x
 
 
+# matched against the FULL HLO instruction text (op name, output shape,
+# operand shapes, fusion kind); first hit wins. The model's conv layers
+# are identifiable by their unique filter-operand shapes: deconv stack
+# (deconv_hidden=200, input spectrum 490) vs conv encoder
+# (conv_hidden=50 -> 50/100/200/400 chain ending at 64x64x3 images).
 CATEGORY_RULES = [
-    ("deconv (transposed conv fwd+bwd)", r"transpose.*conv|conv.*transpose"),
-    ("convolution (encoder fwd+bwd)", r"convolution|conv_general"),
-    ("matmul / dense", r"\bdot\b|dot_general|einsum"),
-    ("copy / transpose / reshape", r"copy|transpose|reshape|bitcast"),
-    ("reduce / batchnorm stats", r"reduce|batch_norm|bn_"),
-    ("scatter/gather", r"scatter|gather|dynamic-slice|dynamic_slice"),
-    ("loop / control", r"while|condition|tuple|parameter|constant"),
-    ("elementwise fusion", r"fusion|fused"),
+    ("loop / control", r"%while|%condition|%tuple|%parameter|%constant"),
+    ("deconv stack (490->200->...->3 transposed convs, fwd+bwd)",
+     r"4,4,490,200\]|4,4,200,200\]|2,2,200,12\]|4,4,200,3\]|33,33,12\]"),
+    ("conv encoder (3->50->100->200->400, fwd+bwd)",
+     r"4,4,3,50\]|4,4,50,100\]|4,4,100,200\]|4,4,200,400\]|4,4,400,"),
+    ("matmul / dense (heads, Wigner, MLP)", r"\bdot\b|dot\(|dot_general"),
+    ("rng (keys + normals)", r"\brng\b|rng-bit|xor|threefry"),
+    ("copy / transpose / reshape / pad", r"%copy|%transpose|%reshape"
+                                         r"|%bitcast|%pad|%slice|%reverse"),
+    ("reduce (loss/BN stats/grad-norm)", r"reduce"),
+    ("elementwise fusion (incl. Adam/clip)", r"fusion"),
 ]
 
 
@@ -89,7 +97,7 @@ def categorize(name):
     return "other"
 
 
-def parse_xplane(trace_dir, top):
+def parse_xplane(trace_dir, top, debug=False):
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     pbs = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
@@ -99,37 +107,53 @@ def parse_xplane(trace_dir, top):
     with open(pbs[0], "rb") as f:
         xspace.ParseFromString(f.read())
 
-    print("planes:", [p.name for p in xspace.planes])
+    # only the TPU device plane's per-op line — the host-interface /
+    # Megascale planes carry DMA bookkeeping, and the module/step lines
+    # double-count their children
     dev_planes = [p for p in xspace.planes
-                  if "TPU" in p.name or "device" in p.name.lower()]
-    assert dev_planes, "no device plane in trace"
+                  if p.name.startswith("/device:TPU")]
+    assert dev_planes, ("no TPU plane in trace; planes: "
+                        + str([p.name for p in xspace.planes]))
 
     per_op = collections.Counter()
     per_op_count = collections.Counter()
+    per_cat = collections.Counter()
     flops_total = 0.0
     bytes_total = 0.0
     span = [float("inf"), 0.0]
     for plane in dev_planes:
         meta = {m_id: m for m_id, m in plane.event_metadata.items()}
         stat_names = {s_id: s.name for s_id, s in plane.stat_metadata.items()}
-        for line in plane.lines:
-            # XLA op lines carry the per-op events; step lines etc. skipped
+        op_lines = [ln for ln in plane.lines if ln.name == "XLA Ops"]
+        if not op_lines:
+            print(f"note: no 'XLA Ops' line in {plane.name}; lines:",
+                  [ln.name for ln in plane.lines])
+            op_lines = plane.lines
+        for line in op_lines:
             for ev in line.events:
                 m = meta.get(ev.metadata_id)
-                name = m.display_name or m.name if m else "?"
-                dur = ev.duration_ps / 1e6            # ms
-                t0 = (line.timestamp_ns * 1e3 + ev.offset_ps) / 1e6
+                full = m.name if m else "?"            # full HLO text
+                name = (m.display_name or m.name) if m else "?"
+                dur = ev.duration_ps / 1e9            # ps -> ms
+                t0 = line.timestamp_ns / 1e6 + ev.offset_ps / 1e9
                 span[0] = min(span[0], t0)
                 span[1] = max(span[1], t0 + dur)
-                per_op[name] += dur
-                per_op_count[name] += 1
+                per_op[full] += dur
+                per_op_count[full] += 1
+                cat = None
                 for st in ev.stats:
                     sname = stat_names.get(st.metadata_id, "")
+                    if debug and per_op_count[name] == 1:
+                        print("   stat:", name[:40], sname,
+                              st.WhichOneof("value"))
                     if sname == "flops":
                         flops_total += st.uint64_value or st.int64_value
                     elif sname in ("bytes accessed", "bytes_accessed"):
                         bytes_total += st.uint64_value or st.int64_value
-    return per_op, per_op_count, flops_total, bytes_total, span
+                    elif sname == "hlo_category":
+                        cat = st.str_value or None
+                per_cat[cat or categorize(full)] += dur
+    return per_op, per_op_count, per_cat, flops_total, bytes_total, span
 
 
 def main(argv=None):
@@ -139,6 +163,7 @@ def main(argv=None):
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--trace_dir", default="/tmp/flagship_profile")
     ap.add_argument("--parse_only", action="store_true")
+    ap.add_argument("--debug", action="store_true")
     args = ap.parse_args(argv)
 
     if not args.parse_only:
@@ -156,15 +181,13 @@ def main(argv=None):
         print(f"trace captured: {n_steps} steps in {wall:.3f}s "
               f"({n_steps / wall:.1f} steps/s wall)")
 
-    per_op, counts, flops, bytes_acc, span = parse_xplane(args.trace_dir,
-                                                          args.top)
-    total = sum(per_op.values())
-    print(f"\ntotal device op time: {total:.3f} ms; busy span "
-          f"{span[1] - span[0]:.3f} ms")
+    per_op, counts, cats, flops, bytes_acc, span = parse_xplane(
+        args.trace_dir, args.top, debug=getattr(args, "debug", False))
+    loop_ms = cats.pop("loop / control", 0.0)
+    total = sum(per_op.values()) - loop_ms
+    print(f"\ntotal device op time: {total:.3f} ms (excl. {loop_ms:.1f} ms"
+          f" parent while-loop spans); busy span {span[1] - span[0]:.3f} ms")
 
-    cats = collections.Counter()
-    for name, ms in per_op.items():
-        cats[categorize(name)] += ms
     print("\n== category shares ==")
     for cat, ms in cats.most_common():
         print(f"  {cat:40s} {ms:9.3f} ms  {100 * ms / total:5.1f}%")
@@ -172,7 +195,7 @@ def main(argv=None):
     print(f"\n== top {args.top} ops ==")
     for name, ms in per_op.most_common(args.top):
         print(f"  {ms:9.3f} ms  x{counts[name]:<5d} {100 * ms / total:5.1f}%"
-              f"  {name[:90]}")
+              f"  {name[:200]}")
 
     if flops or bytes_acc:
         dev_s = total / 1e3
