@@ -186,11 +186,20 @@ def main(argv=None):
         "",
         f"Encoder discontinuity (per-step squared encoding jump) along "
         f"rendered SO(3) trajectories of {args.n_traj} poses, evaluated "
-        "on the latent-matrix checkpoints (outputs/matrix-*). The paper's "
-        "claim at image scale: group-structured latents traverse "
-        "trajectories continuously; Euclidean charts jump. Figures: "
+        "on the latent-matrix checkpoints (outputs/matrix-*). Figures: "
         "*_pca.png (trajectory in encoder space), *_encoded_poses.png "
         "(poses the encoder assigns), *_recon.png (reconstructions).",
+        "",
+        "Within the SO(3) family the metric is scale-free (all encodings "
+        "are 9-dim rotation matrices, squared jumps bounded by 8): the "
+        "algebra-mean chart shows the paper's predicted wrap "
+        "discontinuities — mean jump at the pi scale, maxing the 8.0 "
+        "bound — while the s2s2 / quaternion charts traverse the same "
+        "trajectories 1-2 orders of magnitude more smoothly. "
+        "Cross-family rows (normal/vmf) are NOT directly comparable on "
+        "raw magnitude (their encodings live in differently-scaled "
+        "spaces); their pathologies show as outlier counts and in the "
+        "PCA/encoded-pose figures instead.",
         "",
         "| config | circle: mean / max / outliers "
         "| walk: mean / max / outliers |",
