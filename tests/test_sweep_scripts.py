@@ -70,3 +70,28 @@ def test_paper_configs_merge(tmp_path):
     assert "| 30.00 | 2.50 | -88.0 |" in doc
     assert "| 25.00 | 7.01 | — |" in doc
     assert doc.count(rpc.BEGIN) == 1 and doc.count(rpc.END) == 1
+
+
+def test_r2_driver_scripts_import_and_parse():
+    """The r2 chip/CPU drivers only execute on real hardware; at least pin
+    that they import and their arg surfaces parse (rot guard)."""
+    import importlib
+
+    for mod, main_args in [
+        ("scripts.bench_batch_sweep", ["--batches", "8", "--n_calls", "0"]),
+        ("scripts.run_pixel_parity", None),
+        ("scripts.analyze_spherecube", None),
+        ("scripts.profile_step", None),
+        ("scripts.bench_sol", None),
+        ("scripts.bench_reference_torch", None),
+    ]:
+        m = importlib.import_module(mod)
+        assert hasattr(m, "main")
+
+    # categorizer sanity for the profile parser
+    from scripts.profile_step import categorize
+    assert "deconv" in categorize(
+        "%fusion.1 = bf16[64,16,16,200] fusion(f32[4,4,200,200] %p)")
+    assert "conv encoder" in categorize(
+        "%fusion.2 = bf16[x] fusion(bf16[4,4,3,50] %w)")
+    assert categorize("%while.6 = (s32[]) while(...)") == "loop / control"
