@@ -76,12 +76,25 @@ class UnsupervisedExperiment:
 
         self._rng = jax.random.PRNGKey(seed)
         self._eval_rng = jax.random.PRNGKey(0)
-        # one jitted reduction for the report window — eager jnp ops here
-        # would each be a remote dispatch through the tunneled runtime
-        self._window_reduce_jit = jax.jit(
-            lambda arrs: jnp.stack([
-                jnp.mean(jnp.concatenate([jnp.ravel(x) for x in a]))
-                for a in arrs]))
+        # report-window metrics accumulate DEVICE-side into fixed-shape
+        # (sums, count) state, updated once per dispatch group — the r1
+        # design reduced the whole window in one jitted call keyed on the
+        # window's pytree structure, which retraced (a remote compile,
+        # seconds on this runtime) for every distinct report-window
+        # composition (group count x group lengths, e.g. epoch tails).
+        # The accumulator compiles once per GROUP length only — the same
+        # compile classes the multi-step dispatch already has.
+        self._metric_names = ["recon", "kl"]
+        if equivariance_lamb is not None:
+            self._metric_names.append("equivariance")
+        if encoder_continuity_lamb is not None:
+            self._metric_names.append("encoder_continuity")
+        names = tuple(self._metric_names)
+        self._win_acc_update = jax.jit(
+            lambda sums, count, metrics: (
+                sums + jnp.stack([jnp.sum(metrics[n]) for n in names]),
+                count + jnp.shape(metrics[names[0]])[0]))
+        self._reset_window()
         self._ll_jit_cache = {}   # (n_chunk, chunks, n_eff) -> jitted ll
 
         # ---- init params from one example batch
@@ -528,6 +541,10 @@ class UnsupervisedExperiment:
                      if self.encoder_continuity_lamb else 0.0)
         return beta, lamb_eq, lamb_cont
 
+    def _reset_window(self):
+        self._win_sums = jnp.zeros((len(self._metric_names),), jnp.float32)
+        self._win_count = jnp.zeros((), jnp.int32)
+
     def train(self, epoch):
         """One epoch. Reference: unsupervised.py:69-156 (same reporting
         cadence, tags, and printed line). With steps_per_call > 1, batches
@@ -535,12 +552,11 @@ class UnsupervisedExperiment:
         first group boundary at/after report_freq."""
         num_batches = len(self.train_loader)
         K = self.steps_per_call
-        window = []      # async device scalars; synced at report time
         steps_since_report = 0
         start = time.time()
 
         def flush(group, it):
-            nonlocal steps_since_report, window, start
+            nonlocal steps_since_report, start
             if not group:
                 return
             its, xs = zip(*group)
@@ -559,15 +575,16 @@ class UnsupervisedExperiment:
                 xb = self._put(np.stack(xs), batch_axis=1)
                 self.state, metrics = self._multi_step(
                     self.state, xb, betas, eqs, conts, self._rng, its_arr)
-            window.append((metrics, len(group)))
+            # device-side async accumulation — no host sync, no retraces
+            self._win_sums, self._win_count = self._win_acc_update(
+                self._win_sums, self._win_count, metrics)
             steps_since_report += len(group)
             if (steps_since_report >= self.report_freq
                     or it + 1 == num_batches):
                 beta, lamb_eq, lamb_cont = scheds[-1]
-                self._report(window, epoch, it, its[-1], beta,
+                self._report(epoch, it, its[-1], beta,
                              lamb_eq, lamb_cont, start,
                              n_steps=steps_since_report)
-                window = []
                 steps_since_report = 0
                 start = time.time()
 
@@ -596,29 +613,17 @@ class UnsupervisedExperiment:
                 flush(group, it)
                 group = []
 
-    def _window_means(self, window, names):
-        """Means over the report window, one value per name, via a single
-        jitted reduction + one device->host transfer. Eager jnp ops here
-        would each be a remote dispatch through the tunneled runtime (and a
-        float() of a device scalar a full round-trip), so the whole
-        reduction is one compiled call."""
-        # scan metrics are (group_len,) so the count needs no slicing;
-        # concatenating the raw arrays weights each step equally
-        arrs = tuple(tuple(metrics[name] for metrics, _ in window)
-                     for name in names)
-        return np.asarray(self._window_reduce_jit(arrs))
-
-    def _report(self, window, epoch, it, global_it, beta, lamb_eq,
+    def _report(self, epoch, it, global_it, beta, lamb_eq,
                 lamb_cont, start, n_steps=None):
-        n_steps = n_steps or sum(c for _, c in window)
-        names = ["recon", "kl"]
-        has_eq = "equivariance" in window[-1][0]
-        has_cont = "encoder_continuity" in window[-1][0]
-        if has_eq:
-            names.append("equivariance")
-        if has_cont:
-            names.append("encoder_continuity")
-        means = dict(zip(names, self._window_means(window, names)))
+        # one device->host transfer pulls the accumulated window sums;
+        # every step in the window is weighted equally
+        sums = np.asarray(self._win_sums)
+        count = max(int(self._win_count), 1)
+        self._reset_window()
+        n_steps = n_steps or count
+        means = dict(zip(self._metric_names, sums / count))
+        has_eq = "equivariance" in means
+        has_cont = "encoder_continuity" in means
         train_recon = float(means["recon"])
         train_kl = float(means["kl"])
 
