@@ -12,22 +12,22 @@ reshape of (B, S, C), so S*C = 490 pads to 512 lanes (4% tax) and matches
 the measured-best HBM copy bandwidth of the candidate layouts
 (scripts/bench_sol.py). With the z-rotation written as
 Z(t) x = c_t (.) x + s_t (.) (P x) (P = block-local index reversal,
-c/s = cos/sin(f_i t)) and the identity s (.) Px = -P(s (.) x), each
-J-stage becomes two dots against CONSTANT matrices:
+c/s = cos/sin(f_i t)), tracking every intermediate TOGETHER WITH its
+reversal (h, P h) makes each z-rotation purely elementwise, so the chain
+needs only the two constants J~ = (J kron I_C) and PJ~ = (P J kron I_C):
 
-    J Z(t) x = J (c (.) x) - (J P) (s (.) x)
-
-and the final Z(a) needs both z = J Z(b) y and P z, giving the chain
-
-    y  = (cg.x) Jt - (sg.x) Kt          J~ = (J  kron I_C), K~ = (J P kron I_C)
-    z  = (cb.y) Jt - (sb.y) Kt          PJ~ = (P J kron I_C), PK~ = ...
-    pz = (cb.y) PJt - (sb.y) PKt        for the P z path
+    zx = cg.x + sg.Px                  (P x supplied from XLA, fused gather)
+    y  = zx J~         py = zx PJ~
+    zy = cb.y + sb.py
+    z  = zy J~         pz = zy PJ~
     out = ca.z + sa.pz
 
-— 6 MXU dots of (block_b, SC) x (SC, SC) per block. The Kronecker-with-I_C
-constants cost a factor C in MACs over the minimal 2-matmul algorithm,
-which bf16 inputs (f32 accumulation — the same numeric class as the XLA
-path at TPU-default matmul precision) make cheap.
+— 4 MXU dots of (block_b, SC) x (SC, SC) per block (the first r2 variant
+used 6 dots against 4 constants; the pair form is 1/3 fewer MACs and
+half the constant VMEM). The Kronecker-with-I_C constants cost a factor
+C in MACs over the minimal 2-matmul algorithm, which bf16 inputs (f32
+accumulation — the same numeric class as the XLA path at TPU-default
+matmul precision) make cheap.
 
 Trig enters COMPACT (measured v1 lesson, BENCHMARKS.md): cos(f_i t) takes
 only |f_i| in {0..L} distinct values per angle, and the VPU's sin rate
@@ -47,11 +47,12 @@ feature cotangents as six XLA (B, SC) @ (SC, L+1) reductions:
     d tc_b = (A.y)    Eca^T     d ts_b = -((PA).y) Esa^T
     d tc_g = (V.x)    Eca^T     d ts_g = -((PV).x) Esa^T
 
-Angle gradients then flow through the wrapper's (differentiable) feature
-computation automatically.
+(the cotangent formulas are properties of the chain VALUE, so they are
+unchanged by the pair-form rewrite — verified in tests). Angle gradients
+then flow through the wrapper's (differentiable) feature computation.
 
-VMEM: 4 (SC, SC) + 2 (L+1, SC) constants + ~10 (block_b, SC) live
-arrays; SC is capped at 724 (4 f32 constants ~ 8.4 MB of ~16 MB VMEM) —
+VMEM: 2 (SC, SC) + 2 (L+1, SC) constants + ~10 (block_b, SC) live
+arrays; SC is capped at 1024 (2 f32 constants ~ 8.4 MB of ~16 MB VMEM) —
 the flagship L=6, C=10 has SC = 490. Larger reps fall back to the XLA
 zjz path at the dispatch site.
 """
@@ -65,15 +66,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from lie_vae_tpu.ops.wigner import _block_j, _coeffs
 
-MAX_FUSED_SC = 724   # 4 float32 (SC, SC) constants ~ 8.4 MB of ~16 MB VMEM
+MAX_FUSED_SC = 1024  # 2 float32 (SC, SC) constants ~ 8.4 MB of ~16 MB VMEM
 
 
 @functools.lru_cache(maxsize=16)
 def _fused_consts(max_degree, channels, dtype_name):
-    """(freqs, rev_exp, Eca, Esa, Jt, Kt, PJt, PKt) — numpy (lru_cached:
-    jnp arrays created while tracing would leak tracers across traces).
+    """(freqs, rev_exp, Eca, Esa, Jt, PJt) — numpy (lru_cached: jnp arrays
+    created while tracing would leak tracers across traces).
 
-    The four matmul constants are pre-transposed for row-vector dots
+    The two matmul constants are pre-transposed for row-vector dots
     (x @ M applies M^T on the left) and pre-Kroneckered with I_C for the
     flat s-major/c-minor lane layout. Eca/Esa expand per-angle trig
     features [cos(m t)]_m / [sin(m t)]_m, m in 0..L, to full-lane
@@ -100,8 +101,7 @@ def _fused_consts(max_degree, channels, dtype_name):
     Esa = np.zeros((L1, S * channels))
     Esa[m_exp, np.arange(S * channels)] = np.sign(f_exp)
     return (f_exp.astype(np.float32), rev_exp, Eca.astype(dt),
-            Esa.astype(dt), pack(J), pack(J @ P), pack(P @ J),
-            pack(P @ J @ P))
+            Esa.astype(dt), pack(J), pack(P @ J))
 
 
 def trig_features(angles, max_degree):
@@ -124,10 +124,11 @@ def _reverse_features(T, L1):
         [t[:, :, :1], -t[:, :, 1:]], axis=2).reshape(T.shape[0], -1)
 
 
-def _chain_kernel(t_ref, x_ref, eca_ref, esa_ref, jt_ref, kt_ref, pjt_ref,
-                  pkt_ref, out_ref, y_ref, z_ref, *, L1, compute_dtype,
+def _chain_kernel(t_ref, x_ref, px_ref, eca_ref, esa_ref, jt_ref, pjt_ref,
+                  out_ref, y_ref, z_ref, *, L1, compute_dtype,
                   save_residuals):
     x = x_ref[:]                                      # (bb, SC) f32
+    px = px_ref[:]                                    # (bb, SC) = x[rev]
     cd = compute_dtype
 
     def expand(slot, which):
@@ -138,17 +139,15 @@ def _chain_kernel(t_ref, x_ref, eca_ref, esa_ref, jt_ref, kt_ref, pjt_ref,
         e_ref = eca_ref if which == 0 else esa_ref
         return jnp.dot(t, e_ref[:], preferred_element_type=jnp.float32)
 
-    def jstage(c, s, h, m1_ref, m2_ref):
-        u = (c * h).astype(cd)
-        v = (s * h).astype(cd)
-        return (jnp.dot(u, m1_ref[:], preferred_element_type=jnp.float32)
-                - jnp.dot(v, m2_ref[:], preferred_element_type=jnp.float32))
+    def jpair(h):
+        hc = h.astype(cd)
+        return (jnp.dot(hc, jt_ref[:], preferred_element_type=jnp.float32),
+                jnp.dot(hc, pjt_ref[:], preferred_element_type=jnp.float32))
 
     cg, sg = expand(2, 0), expand(2, 1)
-    y = jstage(cg, sg, x, jt_ref, kt_ref)             # J Z(g) x
+    y, py = jpair(cg * x + sg * px)                   # J Z(g) x and its P
     cb, sb = expand(1, 0), expand(1, 1)
-    z = jstage(cb, sb, y, jt_ref, kt_ref)             # J Z(b) y
-    pz = jstage(cb, sb, y, pjt_ref, pkt_ref)          # P (J Z(b) y)
+    z, pz = jpair(cb * y + sb * py)                   # J Z(b) y and its P
     ca, sa = expand(0, 0), expand(0, 1)
     out_ref[:] = ca * z + sa * pz                     # Z(a) z
     if save_residuals:
@@ -156,17 +155,17 @@ def _chain_kernel(t_ref, x_ref, eca_ref, esa_ref, jt_ref, kt_ref, pjt_ref,
         z_ref[:] = z
 
 
-def _plain_kernel(t_ref, x_ref, eca_ref, esa_ref, jt_ref, kt_ref, pjt_ref,
-                  pkt_ref, out_ref, *, L1, compute_dtype):
-    _chain_kernel(t_ref, x_ref, eca_ref, esa_ref, jt_ref, kt_ref, pjt_ref,
-                  pkt_ref, out_ref, None, None, L1=L1,
+def _plain_kernel(t_ref, x_ref, px_ref, eca_ref, esa_ref, jt_ref, pjt_ref,
+                  out_ref, *, L1, compute_dtype):
+    _chain_kernel(t_ref, x_ref, px_ref, eca_ref, esa_ref, jt_ref, pjt_ref,
+                  out_ref, None, None, L1=L1,
                   compute_dtype=compute_dtype, save_residuals=False)
 
 
 @functools.lru_cache(maxsize=32)
 def _chain_call(L, C, block_b, compute_dtype_name, save_residuals,
                 interpret):
-    _, _, Eca, Esa, Jt, Kt, PJt, PKt = _fused_consts(L, C,
+    _, rev_exp_np, Eca, Esa, Jt, PJt = _fused_consts(L, C,
                                                      compute_dtype_name)
     SC = Jt.shape[0]
     L1 = L + 1
@@ -180,10 +179,14 @@ def _chain_call(L, C, block_b, compute_dtype_name, save_residuals,
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
-    in_specs = [batch_spec(6 * L1), batch_spec(SC),
+    in_specs = [batch_spec(6 * L1), batch_spec(SC), batch_spec(SC),
                 const_spec((L1, SC)), const_spec((L1, SC)),
-                const_spec((SC, SC)), const_spec((SC, SC)),
                 const_spec((SC, SC)), const_spec((SC, SC))]
+
+    def prow(x):
+        # the lane-reversal partner enters from XLA (a gather the compiler
+        # fuses into the producer) — Mosaic supports no lane gathers
+        return jnp.take(x, jnp.asarray(rev_exp_np), axis=1)
 
     if save_residuals:
         def call(T, x):
@@ -197,7 +200,7 @@ def _chain_call(L, C, block_b, compute_dtype_name, save_residuals,
                 in_specs=in_specs,
                 out_specs=tuple(batch_spec(SC) for _ in range(3)),
                 interpret=interpret,
-            )(T, x, Eca, Esa, Jt, Kt, PJt, PKt)
+            )(T, x, prow(x), Eca, Esa, Jt, PJt)
         return call
 
     def call_plain(T, x):
@@ -209,7 +212,7 @@ def _chain_call(L, C, block_b, compute_dtype_name, save_residuals,
             in_specs=in_specs,
             out_specs=batch_spec(SC),
             interpret=interpret,
-        )(T, x, Eca, Esa, Jt, Kt, PJt, PKt)
+        )(T, x, prow(x), Eca, Esa, Jt, PJt)
 
     return call_plain
 
