@@ -81,9 +81,13 @@ def so3_wrapped_log_density(v, sigma, k=10, clamp=1e-3, impl="xla"):
     ~2x the XLA path at large N on TPU, with an analytic custom-VJP
     backward kernel (trainable); 'auto' picks it for large batches on TPU.
     """
-    if impl not in ("xla", "pallas", "auto"):
+    if impl not in ("xla", "pallas", "fused", "auto"):
         raise ValueError(f"unknown so3 density impl {impl!r} "
-                         "(expected 'xla', 'pallas', or 'auto')")
+                         "(expected 'xla', 'pallas', 'fused', or 'auto')")
+    if impl == "fused":
+        # the model-level kernel_impl knob names the Pallas family
+        # 'fused'; for the density that IS the pallas kernel
+        impl = "pallas"
     if impl != "xla":
         n_total = v.shape[0] * v.shape[1]
         on_tpu = jax.default_backend() == "tpu"

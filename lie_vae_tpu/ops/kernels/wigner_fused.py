@@ -312,18 +312,71 @@ def block_wigner_apply_fused_flat(angles, spectrum_flat, max_degree,
     return op(T, spectrum_flat)[:B]
 
 
+def block_wigner_apply_fused_rows(angles, spectrum_cbs, max_degree,
+                                  transpose=False, block_b=256,
+                                  compute_dtype=jnp.bfloat16,
+                                  interpret=None):
+    """Fused apply for LARGE reps: channels ride the ROW axis.
+
+    spectrum_cbs: (C, B, S) channel-major planes (or (B, S) for C=1);
+    returns the same shape. Each (B, S) plane goes through the C=1 flat
+    kernel as extra rows (features tiled per plane), so only S — not
+    S*C — must fit the VMEM constant budget: this serves e.g. L=10
+    (S=121) at any channel count. Callers holding the natural (B, S, C)
+    layout pay two XLA transposes (one pass each); keep spectra
+    channel-major to skip them.
+    """
+    angles = jnp.asarray(angles, jnp.float32).reshape((-1, 3))
+    B = angles.shape[0]
+    S = (max_degree + 1) ** 2
+    if spectrum_cbs.ndim == 2:
+        spectrum_cbs = spectrum_cbs[None]
+    C = spectrum_cbs.shape[0]
+    assert spectrum_cbs.shape[1] in (B, 1) and spectrum_cbs.shape[2] == S, \
+        (spectrum_cbs.shape, B, S)
+    if spectrum_cbs.shape[1] == 1:
+        spectrum_cbs = jnp.broadcast_to(spectrum_cbs, (C, B, S))
+    if transpose:
+        angles = -angles[:, ::-1]
+
+    rows = spectrum_cbs.reshape(C * B, S).astype(jnp.float32)
+    T = jnp.tile(trig_features(angles, max_degree), (C, 1))
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    block_b = min(block_b, max(8, 1 << (C * B - 1).bit_length()))
+    pad = (-C * B) % block_b
+    if pad:
+        T = jnp.pad(T, ((0, pad), (0, 0)))
+        rows = jnp.pad(rows, ((0, pad), (0, 0)))
+    op = _make_fused_op(max_degree, 1, block_b,
+                        jnp.dtype(compute_dtype).name, interpret)
+    return op(T, rows)[:C * B].reshape(C, B, S)
+
+
 def block_wigner_matrix_multiply_fused(angles, spectrum, max_degree,
                                        transpose=False, block_b=256,
                                        compute_dtype=jnp.bfloat16,
                                        interpret=None):
-    """(B, S, C)-shaped convenience wrapper over the flat fused kernel."""
+    """(B, S, C)-shaped convenience wrapper over the fused kernels:
+    flat-lane layout when S*C fits the VMEM constant budget, otherwise
+    the channels-as-rows path (needs only S to fit)."""
     if spectrum.ndim == 2:
         S, C = spectrum.shape
         flat = spectrum.reshape(-1)
     else:
         _, S, C = spectrum.shape
         flat = spectrum.reshape(spectrum.shape[0], -1)
-    out = block_wigner_apply_fused_flat(
-        angles, flat, max_degree, transpose=transpose, block_b=block_b,
+    if S * C <= MAX_FUSED_SC:
+        out = block_wigner_apply_fused_flat(
+            angles, flat, max_degree, transpose=transpose, block_b=block_b,
+            compute_dtype=compute_dtype, interpret=interpret)
+        return out.reshape(out.shape[0], S, C)
+    assert S <= MAX_FUSED_SC, (
+        f"fused Wigner kernel needs S <= {MAX_FUSED_SC}; got S={S}")
+    cbs = (jnp.moveaxis(spectrum, -1, 0) if spectrum.ndim == 3
+           else spectrum.T[:, None, :])
+    out = block_wigner_apply_fused_rows(
+        angles, cbs, max_degree, transpose=transpose, block_b=block_b,
         compute_dtype=compute_dtype, interpret=interpret)
-    return out.reshape(out.shape[0], S, C)
+    return jnp.moveaxis(out, 0, -1)

@@ -275,13 +275,38 @@ def test_fused_wigner_grad_shared_spectrum(key):
                                atol=2e-4, rtol=1e-4)
 
 
-def test_fused_wigner_rejects_oversized_rep():
+def test_fused_wigner_big_rep_channels_as_rows(key):
+    """S*C beyond the flat kernel's VMEM budget routes through the
+    channels-as-rows path (only S must fit); values and the broadcast
+    (S, C) spectrum case must still match zjz."""
     from lie_vae_tpu.ops.kernels import MAX_FUSED_SC
-    angles = jnp.zeros((2, 3))
-    spec = jnp.zeros((2, 121, 16))   # S*C = 1936 > MAX_FUSED_SC
-    assert 121 * 16 > MAX_FUSED_SC
-    with pytest.raises(AssertionError, match="fused Wigner"):
-        block_wigner_matrix_multiply_fused(angles, spec, 10, interpret=True)
+    k1, k2 = jax.random.split(key)
+    B, L, C = 7, 10, 16
+    S = (L + 1) ** 2
+    assert S * C > MAX_FUSED_SC >= S
+    angles = ops.group_matrix_to_eazyz(
+        ops.random_group_matrices(k1, B)).astype(jnp.float32)
+    spec = jax.random.normal(k2, (B, S, C), dtype=jnp.float32)
+    for tp in (False, True):
+        ref = ops.block_wigner_apply_zjz(angles, spec, L, transpose=tp)
+        out = block_wigner_matrix_multiply_fused(
+            angles, spec, L, transpose=tp, compute_dtype=jnp.float32,
+            interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=5e-5, rtol=1e-4)
+    shared = jax.random.normal(k2, (S, C), dtype=jnp.float32)
+    ref = ops.block_wigner_apply_zjz(angles, shared, L)
+    out = block_wigner_matrix_multiply_fused(
+        angles, shared, L, compute_dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-5, rtol=1e-4)
+    # gradients flow through the moveaxis/tile plumbing
+    g = jax.grad(lambda a: jnp.sum(block_wigner_matrix_multiply_fused(
+        a, spec, L, compute_dtype=jnp.float32, interpret=True) ** 2))(angles)
+    g_ref = jax.grad(lambda a: jnp.sum(ops.block_wigner_apply_zjz(
+        a, spec, L) ** 2))(angles)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               atol=2e-3, rtol=2e-3)
 
 
 def test_wigner_impl_auto_dispatch(key):
@@ -300,3 +325,47 @@ def test_wigner_impl_auto_dispatch(key):
     out = ops.block_wigner_matrix_multiply(angles, big, 10, impl="auto")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_training_with_fused_kernel(key):
+    """Full toy training epoch with kernel_impl='fused' (interpret mode,
+    f32 path forced by patching the default compute dtype is unnecessary:
+    interpret-mode bf16 emulation is close enough at these scales)
+    tracks the XLA trajectory."""
+    from functools import partial
+    from unittest import mock
+
+    from lie_vae_tpu.data import ToyDataset
+    from lie_vae_tpu.models import LieVAE
+    from lie_vae_tpu.ops.kernels import wigner_fused
+    from lie_vae_tpu.train import ConstantSchedule, UnsupervisedExperiment
+
+    ds = ToyDataset.generate(n=96, degrees=2, rep_copies=3)
+
+    def run(impl):
+        model = LieVAE(latent_mode="so3", decoder_mode="action",
+                       encode_mode="toy", deconv_mode="toy",
+                       mean_mode="s2s2", degrees=2, rep_copies=3,
+                       kernel_impl=impl)
+        exp = UnsupervisedExperiment(
+            model=model, train_dataset=ds, test_dataset=ds,
+            beta_schedule=ConstantSchedule(1.0), batch_size=32,
+            report_freq=10 ** 9, lr=1e-3, clip_grads=None, seed=0)
+        exp.train(0)
+        return exp.state.params, exp.test()
+
+    # f32 compute in the kernel so the comparison tolerance is meaningful
+    orig = wigner_fused.block_wigner_apply_fused_flat
+    with mock.patch.object(
+            wigner_fused, "block_wigner_apply_fused_flat",
+            partial(orig, compute_dtype=jnp.float32)):
+        p_f, t_f = run("fused")
+    p_xla, t_xla = run("xla")
+    np.testing.assert_allclose(t_f, t_xla, rtol=1e-2, atol=1e-2)
+    # after 3 Adam steps tiny f32 association differences amplify on
+    # near-zero grads — integration-level tolerance (value parity of the
+    # kernel itself is pinned tightly by the direct tests above)
+    for a, b in zip(jax.tree_util.tree_leaves(p_xla),
+                    jax.tree_util.tree_leaves(p_f)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-2, atol=2e-3)

@@ -276,3 +276,32 @@ def test_log_likelihood_batched_matches_loop(tmp_path):
     # max_items respected with batching
     ll_two = exp.log_likelihood(ds, n=8, batch_size=4, max_items=2)
     assert np.isfinite(ll_two)
+
+
+def test_training_is_deterministic():
+    """Same seed + data -> bitwise-identical params and metrics after an
+    epoch: the jitted step's RNG folds from (seed, global step) only, and
+    nothing in the loop depends on host timing."""
+    from lie_vae_tpu.data import ToyDataset
+    from lie_vae_tpu.models import LieVAE
+    from lie_vae_tpu.train import ConstantSchedule, UnsupervisedExperiment
+
+    def run():
+        ds = ToyDataset.generate(n=96, degrees=2, rep_copies=3)
+        model = LieVAE(latent_mode="so3", decoder_mode="action",
+                       encode_mode="toy", deconv_mode="toy",
+                       mean_mode="s2s2", degrees=2, rep_copies=3)
+        exp = UnsupervisedExperiment(
+            model=model, train_dataset=ds, test_dataset=ds,
+            beta_schedule=ConstantSchedule(1.0), batch_size=32,
+            report_freq=10 ** 9, lr=1e-3, clip_grads=1e-5, seed=0,
+            steps_per_call=2)
+        exp.train(0)
+        return exp.state.params, np.asarray(exp.test())
+
+    p1, t1 = run()
+    p2, t2 = run()
+    np.testing.assert_array_equal(t1, t2)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
