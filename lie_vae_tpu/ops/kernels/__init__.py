@@ -5,4 +5,4 @@ from lie_vae_tpu.ops.kernels.wigner_block import (  # noqa: F401
     block_wigner_matrix_multiply_pallas)
 from lie_vae_tpu.ops.kernels.wigner_fused import (  # noqa: F401
     MAX_FUSED_SC, block_wigner_apply_fused_flat,
-    block_wigner_matrix_multiply_fused)
+    block_wigner_apply_fused_rows, block_wigner_matrix_multiply_fused)

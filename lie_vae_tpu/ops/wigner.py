@@ -279,11 +279,18 @@ def block_wigner_matrix_multiply(angles, spectrum, max_degree,
         S = (max_degree + 1) ** 2
         SC = spectrum.shape[-1] * S if spectrum.ndim >= 2 else None
         B = jnp.asarray(angles).reshape(-1, 3).shape[0]
-        # measured crossover (scripts/bench_kernels.py): below ~2k rows
-        # both paths sit on the dispatch floor and zjz is marginally
-        # ahead; at large B the fused kernel wins
-        impl = ("fused" if SC is not None and SC <= MAX_FUSED_SC
-                and B >= 2048 else "zjz")
+        # measured crossovers (scripts/bench_kernels.py + BENCHMARKS):
+        # small reps — below ~2k rows both paths sit on the dispatch
+        # floor and zjz is marginally ahead, above it the fused kernel
+        # wins; large reps (channels-as-rows path, C x the rows) — the
+        # fused kernel already wins at B=1024 (0.123 vs 0.142 ms) and by
+        # 1.6x at B=4096
+        if SC is not None and SC <= MAX_FUSED_SC:
+            impl = "fused" if B >= 2048 else "zjz"
+        elif SC is not None and S <= MAX_FUSED_SC:
+            impl = "fused" if B >= 1024 else "zjz"
+        else:
+            impl = "zjz"
     if impl in ("zjz", "xla"):
         return block_wigner_apply_zjz(angles, spectrum, max_degree,
                                       transpose=transpose)
