@@ -56,6 +56,9 @@ def main():
     for label, kwargs in [
             ("reference loop (batch 1, full n)", dict(batch_size=1)),
             ("batched (B=16, chunk 50)", dict(batch_size=16, n_chunk=50)),
+            ("batched (B=32, chunk 50)", dict(batch_size=32, n_chunk=50)),
+            ("batched (B=32, chunk 100)", dict(batch_size=32, n_chunk=100)),
+            ("batched (B=64, chunk 50)", dict(batch_size=64, n_chunk=50)),
     ]:
         # compile warmup on 1-2 dispatches
         exp.log_likelihood(ds, n=n, max_items=kwargs.get("batch_size", 1),

@@ -82,7 +82,7 @@ def run_config(name, args):
         "--steps_per_call", str(args.steps_per_call),
         "--compute_dtype", args.compute_dtype,
         "--max_early_stop", str(args.max_early_stop),
-        "--ll_batch", "16", "--ll_chunk", "50",
+        "--ll_batch", "32", "--ll_chunk", "50",
         # NB: --name makes the CLI route logs/checkpoints to runs/<name> and
         # outputs/<name> (same behavior as the reference, main.py:23-25)
         "--name", f"matrix-{name}",

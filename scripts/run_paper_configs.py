@@ -86,7 +86,7 @@ def run_config(name, args):
         "--report_freq", str(args.report_freq),
         "--steps_per_call", str(args.steps_per_call),
         "--compute_dtype", args.compute_dtype,
-        "--ll_batch", "16", "--ll_chunk", "50",
+        "--ll_batch", "32", "--ll_chunk", "50",
         "--name", f"paper-{name}",
     ]
     if args.epochs:
