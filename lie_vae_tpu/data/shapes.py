@@ -9,6 +9,7 @@ TPU-first deltas: images load as NHWC float32 numpy (not NCHW torch
 tensors), and batches are assembled host-side into single contiguous
 arrays ready for a one-shot device put.
 """
+import hashlib
 import os
 import re
 from glob import glob
@@ -111,6 +112,67 @@ class ShapeDataset:
         group_el = quaternions_to_group_matrix_np(np.asarray(quaternion))
         name = 0 if cls.single_id else filename_to_name(filename)
         return name, group_el, image
+
+    _DISK_CACHE_NAME = "_decoded_cache_v1.npz"
+
+    def _files_key(self):
+        # filenames + size + mtime: re-rendered pixels under identical
+        # names (e.g. a renderer change) must invalidate the cache too
+        parts = []
+        for f in self.files:
+            path = os.path.join(self.root, f) if self.root else f
+            try:
+                st = os.stat(path)
+                parts.append(f"{f}|{st.st_size}|{st.st_mtime_ns}")
+            except OSError:
+                parts.append(f)
+        return hashlib.sha256("\n".join(parts).encode()).hexdigest()
+
+    def _disk_cache_path(self):
+        if not self.directory or not os.path.isdir(self.directory):
+            return None
+        return os.path.join(self.directory, self._DISK_CACHE_NAME)
+
+    def warm_cache(self, persist=True):
+        """Fill the uint8 decode cache for EVERY file at once, backed by a
+        persistent bulk cache on disk (``<dir>/_decoded_cache_v1.npz``).
+
+        The device-resident data path decodes the whole dataset up front
+        (train/loop.py); per-PNG PIL decode makes that scale linearly with
+        dataset size (~1 min for 32k images). The disk cache turns every
+        later startup into one bulk uint8 read (<2 s at 32k). Keyed by a
+        hash of the (post-subsample) file list, so a stale or
+        foreign cache can never serve wrong pixels — it is simply
+        re-decoded and overwritten.
+        """
+        if not self._cache_enabled or len(self._cache) >= len(self.files):
+            return
+        n = len(self.files)
+        path = self._disk_cache_path()
+        key = self._files_key()
+        if path and os.path.exists(path):
+            try:
+                z = np.load(path, allow_pickle=False)
+                if str(z["key"]) == key:
+                    imgs, gs, names = z["imgs"], z["gs"], z["names"]
+                    for i in range(n):
+                        nm = (int(names[i]) if self.single_id
+                              else str(names[i]))
+                        self._cache[i] = (nm, gs[i], imgs[i])
+                    return
+            except Exception:
+                pass   # unreadable or stale cache: re-decode below
+        for i in range(n):
+            self._gather_one(i)
+        if persist and path:
+            names, gs, imgs = zip(*(self._cache[i] for i in range(n)))
+            tmp = path + ".tmp.npz"   # ends in .npz so savez keeps the name
+            np.savez(tmp, key=np.asarray(key),
+                     names=np.asarray(
+                         names, dtype=np.int32 if self.single_id else None),
+                     gs=np.stack(gs, 0).astype(np.float32),
+                     imgs=np.stack(imgs, 0))
+            os.replace(tmp, path)
 
     def gather(self, indices):
         """Batch fetch. Images are returned as uint8 — 4x less host->device

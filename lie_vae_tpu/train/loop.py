@@ -148,6 +148,9 @@ class UnsupervisedExperiment:
         """Returns (device_images, rows_per_item)."""
         assert jax.process_count() == 1, \
             "device_data is single-host (use the streaming path multi-host)"
+        warm = getattr(dataset, "warm_cache", None)
+        if warm is not None:
+            warm()   # bulk-load / create the persistent decode cache
         batch = dataset.gather(np.arange(len(dataset)))
         imgs = np.asarray(dataset.prep_batch(batch)[-1])
         assert imgs.shape[0] % len(dataset) == 0, \

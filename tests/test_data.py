@@ -77,6 +77,52 @@ def test_shape_dataset_roundtrip(tmp_path):
     np.testing.assert_allclose(g, expected, atol=2e-4)  # 4-decimal filenames
 
 
+def test_warm_cache_disk_roundtrip(tmp_path, monkeypatch):
+    """warm_cache persists the decoded uint8 images and reloads them in
+    bulk: a second dataset instance must serve identical pixels with the
+    PNG decoder disabled, and a changed file list must NOT hit the stale
+    cache."""
+    from PIL import Image
+    import lie_vae_tpu.data.shapes as shapes_mod
+    rng = np.random.default_rng(1)
+    qs = rng.normal(size=(5, 4))
+    qs /= np.linalg.norm(qs, axis=1, keepdims=True)
+    d = os.path.join(tmp_path, "imgs")
+    os.makedirs(d)
+    for i, q in enumerate(qs):
+        name = "{:06d}_0_{:.4f}_{:.4f}_{:.4f}_{:.4f}.png".format(i, *q)
+        arr = rng.integers(0, 255, (8, 8, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(os.path.join(d, name))
+
+    class DS(ShapeDataset):
+        rgb = True
+        single_id = True
+
+    ds1 = DS(d)
+    ds1.warm_cache()
+    assert os.path.exists(os.path.join(d, ShapeDataset._DISK_CACHE_NAME))
+    ref = ds1.gather(np.arange(len(ds1)))
+
+    def _boom(path, rgb):
+        raise AssertionError("decoder called despite disk cache")
+
+    monkeypatch.setattr(shapes_mod, "_load_image", _boom)
+    ds2 = DS(d)
+    ds2.warm_cache()
+    got = ds2.gather(np.arange(len(ds2)))
+    np.testing.assert_array_equal(got[2], ref[2])
+    np.testing.assert_allclose(got[1], ref[1])
+
+    # stale-cache guard: adding a file changes the key -> decode again
+    monkeypatch.setattr(shapes_mod, "_load_image",
+                        lambda p, rgb: np.zeros((8, 8, 3), np.float32))
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(
+        os.path.join(d, "000099_0_1.0000_0.0000_0.0000_0.0000.png"))
+    ds3 = DS(d)
+    ds3.warm_cache()
+    assert len(ds3._cache) == 6          # re-decoded, not served stale
+
+
 def test_random_split_reference_semantics():
     class Dummy:
         def __init__(self, n):
