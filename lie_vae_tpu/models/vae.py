@@ -65,6 +65,11 @@ class LieVAE(nn.Module):
     # ops (block-Wigner apply + wrapped log-density); both impls are
     # differentiable (the Pallas kernels carry custom-VJP backward kernels)
     kernel_impl: str = "xla"
+    # wrapping-shell truncation for the SO(3) posterior density. The
+    # reference hardcodes 10 (reparameterize.py:233-263); raising it is a
+    # diagnostic for density-truncation bias at large sigma (a truncated
+    # log q inflates the IW-LL estimate while pushing the MC KL negative).
+    density_k: int = 10
     # optional per-reparameterizer feature hook (the reference's r_callback,
     # vae.py:137, which is never assigned there — fixed here as opt-in)
     r_callback: Optional[Tuple[Callable, ...]] = None
@@ -110,7 +115,8 @@ class LieVAE(nn.Module):
         # latent (vae.py:73-97)
         if self.latent_mode == "so3":
             self.rep_group = SO3Reparameterize(
-                mean_mode=self.mean_mode, k=10, fixed_sigma=self.fixed_sigma,
+                mean_mode=self.mean_mode, k=self.density_k,
+                fixed_sigma=self.fixed_sigma,
                 deterministic=self.deterministic,
                 density_impl=self.kernel_impl)
         elif self.latent_mode == "normal":

@@ -398,3 +398,28 @@ def test_vmf_high_dim_mean_resultant(key, p):
         emp = float(jnp.mean(jnp.sum(stats.z * mu, axis=-1)))
         expected = float(sps.ive(p / 2, kap) / sps.ive(p / 2 - 1, kap))
         assert abs(emp - expected) < 0.015, (p, kap, emp, expected)
+
+
+# ------------------------------------------------- shell-truncation (density_k)
+
+def test_so3_density_monotone_in_shells(key):
+    """More wrapping shells can only ADD probability mass: log q is
+    non-decreasing in k, and the increment is negligible at small sigma but
+    large once sigma spans many 2-pi shells (the truncation-bias regime a
+    drifted posterior enters; reference hardcodes k=10,
+    reparameterize.py:233-263)."""
+    k1, k2 = jax.random.split(key)
+    for sig, big_gap in [(0.1, False), (50.0, True)]:
+        sigma = jnp.full((8, 3), sig)
+        stats = dist.sample_so3(k1, jnp.eye(3)[None].repeat(8, 0), sigma, n=4)
+        v = stats.inner.z
+        q10 = np.asarray(dist.so3_wrapped_log_density(v, sigma, k=10))
+        q30 = np.asarray(dist.so3_wrapped_log_density(v, sigma, k=30))
+        q60 = np.asarray(dist.so3_wrapped_log_density(v, sigma, k=60))
+        assert (q30 >= q10 - 1e-5).all()
+        assert (q60 >= q30 - 1e-5).all()
+        gap = np.abs(q30 - q10).max()
+        if big_gap:
+            assert gap > 0.1, gap       # truncation bias is material
+        else:
+            assert gap < 1e-6, gap      # k=10 already exact at small sigma

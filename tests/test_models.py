@@ -229,3 +229,23 @@ def test_conv_hidden_capacity_knob():
     assert k.shape[-1] == 64          # first conv outputs conv_hidden
     k3 = v["params"]["encoder"]["Conv_3"]["kernel"]
     assert k3.shape[-1] == 8 * 64     # 8h at the fourth layer
+
+
+def test_density_k_plumbs_to_stats(key):
+    """The density_k diagnostic knob reaches the SO3 stats struct (shell
+    count used by log_posterior); default matches the reference's k=10."""
+    base = LieVAE(latent_mode="so3", decoder_mode="action",
+                  encode_mode="toy", deconv_mode="toy",
+                  mean_mode="s2s2", degrees=3, rep_copies=4)
+    x = jax.random.normal(key, (2, 16, 4))
+    rngs = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}
+    variables = base.init(rngs, x)
+
+    def stats_for(model):
+        out, _ = model.apply(variables, x, n=1, method="encode",
+                             rngs={"sample": jax.random.PRNGKey(2)},
+                             mutable=["batch_stats"])
+        return out[0]
+
+    assert stats_for(base).k == 10
+    assert stats_for(base.clone(density_k=30)).k == 30
