@@ -29,7 +29,7 @@ def _pose_name(index, sub, q):
 
 
 def generate(num, out_dir, step_size, size=64, pairs=True, seed=0,
-             use_blender=False):
+             use_blender=False, style="v1"):
     import jax
     import jax.numpy as jnp
 
@@ -55,11 +55,13 @@ def generate(num, out_dir, step_size, size=64, pairs=True, seed=0,
     if use_blender:
         _render_blender(r_np, names, out_dir, size)
     else:
-        _render_numpy(r_np, names, out_dir, size)
+        _render_numpy(r_np, names, out_dir, size, style=style)
     return names
 
 
-def _render_numpy(r, names, out_dir, size, batch=256):
+def _render_numpy(r, names, out_dir, size, batch=256, style="v1"):
+    # 'numpy' historically; dispatches to the native C++ renderer when
+    # buildable (backend='auto'), ~100x faster on this host
     from PIL import Image
 
     from lie_vae_tpu.data.render import render_spherecube
@@ -67,7 +69,7 @@ def _render_numpy(r, names, out_dir, size, batch=256):
     flat_r = r.reshape(-1, 3, 3)
     flat_names = [n for row in names for n in row]
     for i in range(0, len(flat_r), batch):
-        imgs = render_spherecube(flat_r[i:i + batch], size=size)
+        imgs = render_spherecube(flat_r[i:i + batch], size=size, style=style)
         for img, name in zip(imgs, flat_names[i:i + batch]):
             Image.fromarray((img * 255).astype(np.uint8)).save(
                 os.path.join(out_dir, name))
@@ -103,10 +105,14 @@ def main(argv=None):
                              "(sc-pairs)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--blender", action="store_true")
+    parser.add_argument("--style", choices=["v1", "v2"], default="v1",
+                        help="render look: v1 (round-1, dim flat faces) or "
+                             "v2 (high-pose-contrast textures; see "
+                             "data/render.py)")
     args = parser.parse_args(argv)
     generate(args.num, args.dir, args.step_size, size=args.size,
              pairs=not args.singles, seed=args.seed,
-             use_blender=args.blender)
+             use_blender=args.blender, style=args.style)
     print(f"Wrote {'pairs' if not args.singles else 'poses'} to {args.dir}")
 
 
