@@ -83,6 +83,7 @@ def build_model(args, dataset, item_rep):
         fixed_sigma=args.fixed_sigma,
         compute_dtype=args.compute_dtype,
         kernel_impl=args.kernel_impl,
+        density_k=args.density_k,
     )
 
 
@@ -253,6 +254,11 @@ def parse_args(argv=None):
                         help="[xla, pallas, auto] impl of the fused "
                              "Lie-group ops (Pallas kernels have custom-VJP "
                              "backwards, safe for training)")
+    parser.add_argument("--density_k", type=int, default=10,
+                        help="wrapping shells of the SO(3) posterior "
+                             "density (reference hardcodes 10); raise when "
+                             "the sigma_max monitor warns of truncation "
+                             "bias")
     parser.add_argument("--ll_samples", type=int, default=500)
     parser.add_argument("--ll_max_items", type=int, default=None)
     parser.add_argument("--ll_batch", type=int, default=1,

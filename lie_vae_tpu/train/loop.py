@@ -18,6 +18,7 @@ TPU-first re-design:
   replicated; XLA inserts the gradient all-reduce over ICI.
 """
 import itertools
+import math
 import time
 from typing import Any, Optional
 
@@ -89,6 +90,18 @@ class UnsupervisedExperiment:
             self._metric_names.append("equivariance")
         if encoder_continuity_lamb is not None:
             self._metric_names.append("encoder_continuity")
+        # SO(3) posterior-drift monitor: the k-shell wrapped density is only
+        # valid while the algebra Gaussian's mass fits inside the wrapping
+        # window |v| <= 2*pi*k; once sigma grows past ~pi*k/2 (4 sigma to
+        # the window edge) log q is systematically underestimated, the
+        # reported MC KL can go NEGATIVE and IW-LL inflates (measured on
+        # the 32k flagship run — BENCHMARKS '32k renders' section). Track
+        # the window-mean of the per-step max sigma and warn at reports.
+        self._monitor_sigma = getattr(model, "latent_mode", None) == "so3"
+        if self._monitor_sigma:
+            self._metric_names.append("sigma_max")
+            self._sigma_valid_bound = (
+                math.pi * getattr(model, "density_k", 10) / 2.0)
         names = tuple(self._metric_names)
         self._win_acc_update = jax.jit(
             lambda sums, count, metrics: (
@@ -239,6 +252,8 @@ class UnsupervisedExperiment:
 
                 metrics = {"recon": mean_recon, "kl": mean_kl,
                            "kls": kls_mean}
+                if self._monitor_sigma:
+                    metrics["sigma_max"] = jnp.max(stats[0].inner.sigma)
                 encoding = stats[0].z[0]
 
                 if use_eq:
@@ -647,6 +662,17 @@ class UnsupervisedExperiment:
                                 global_it)
             self.log.add_scalar("encoder_continuity_lamb", lamb_cont,
                                 global_it)
+
+        if self._monitor_sigma:
+            sigma_max = float(means["sigma_max"])
+            self.log.add_scalar("sigma_max", sigma_max, global_it)
+            if sigma_max > self._sigma_valid_bound:
+                print(f"WARNING: posterior sigma_max {sigma_max:.1f} exceeds "
+                      f"the wrapped-density validity bound "
+                      f"~{self._sigma_valid_bound:.1f} for its shell count: "
+                      "reported KL (and a final IW-LL) are truncation-biased"
+                      " — re-evaluate the checkpoint with "
+                      "scripts/eval_checkpoint.py --density_k 30 100")
 
         test_vals = self.test()
         test_recon, test_kl = float(test_vals[0]), float(test_vals[1])

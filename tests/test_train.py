@@ -305,3 +305,25 @@ def test_training_is_deterministic():
     for a, b in zip(jax.tree_util.tree_leaves(p1),
                     jax.tree_util.tree_leaves(p2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sigma_drift_monitor(capsys):
+    """SO(3) runs track the window-mean per-step max sigma and warn at
+    report boundaries once it exceeds the wrapped-density validity bound
+    (~pi*k/2) — the truncation-bias regime measured on the 32k flagship
+    (BENCHMARKS '32k renders')."""
+    exp = _toy_experiment(deterministic=False, beta=1.0)
+    exp.report_freq = 10
+    assert "sigma_max" in exp._metric_names
+    exp.train(0)
+    out = capsys.readouterr().out
+    assert "Epoch 0" in out
+    # healthy run: sigma ~ softplus(0)-scale, far below the bound
+    assert "WARNING: posterior sigma_max" not in out
+
+    # force the truncation regime via the bound (equivalent to sigma drift)
+    exp._sigma_valid_bound = 1e-9
+    exp.train(1)
+    out = capsys.readouterr().out
+    assert "WARNING: posterior sigma_max" in out
+    assert "truncation-biased" in out
