@@ -63,18 +63,20 @@ DESCRIPTIONS = {
 BEGIN, END = "<!-- latent-matrix:begin -->", "<!-- latent-matrix:end -->"
 
 
-def ensure_data(data_dir, n_images):
+def ensure_data(data_dir, n_images, style="v1"):
     from lie_vae_tpu.cli.gen_spherecube import generate
     if os.path.isdir(data_dir) and len(os.listdir(data_dir)) >= n_images:
         return
     print(f"rendering {n_images} spherecube images into {data_dir} ...")
-    generate(n_images, data_dir, step_size=0.1, pairs=False)
+    generate(n_images, data_dir, step_size=0.1, pairs=False, style=style)
 
 
 def run_config(name, args):
     from lie_vae_tpu.cli import main as cli_main
     from scripts._results_table import read_ll
 
+    run_name = (f"matrix-{name}" if args.style == "v1"
+                else f"matrix-{args.style}-{name}")
     argv = [
         "--dataset", "spherecube", "--data_dir", args.data_dir,
         "--beta", "1", "--epochs", str(args.epochs),
@@ -85,11 +87,13 @@ def run_config(name, args):
         "--ll_batch", "32", "--ll_chunk", "50",
         # NB: --name makes the CLI route logs/checkpoints to runs/<name> and
         # outputs/<name> (same behavior as the reference, main.py:23-25)
-        "--name", f"matrix-{name}",
+        "--name", run_name,
     ] + CONFIGS[name]
+    if args.device_data:
+        argv.append("--device_data")
     exp = cli_main.main(argv)
     return {"best_recon": float(exp.best_value),
-            "ll": read_ll(f"matrix-{name}")}
+            "ll": read_ll(run_name)}
 
 
 def write_table(results, args):
@@ -99,10 +103,19 @@ def write_table(results, args):
         ll = f"{r['ll']:.1f}" if r["ll"] is not None else "—"
         return f"| {desc} | {r['best_recon']:.2f} | {ll} |"
 
+    begin, end, title = BEGIN, END, "Latent-space matrix (spherecube)"
+    if args.style != "v1":
+        begin = f"<!-- latent-matrix-{args.style}:begin -->"
+        end = f"<!-- latent-matrix-{args.style}:end -->"
+        title = f"Latent-space matrix (spherecube, {args.style} renders)"
+
     merge_marker_table(
-        args.out, BEGIN, END,
+        args.out, begin, end,
         caption=(
-            f"Spherecube ({args.n_images} in-repo renders), batch 64, "
+            f"Spherecube ({args.n_images} in-repo renders"
+            + (f", {args.style} high-pose-contrast style"
+               if args.style != "v1" else "")
+            + "), batch 64, "
             f"beta=1, lr 1e-3, clip 1e-5, early stop {args.max_early_stop} "
             f"stale epochs (cap {args.epochs}); "
             f"compute_dtype={args.compute_dtype}. LL = importance-sampled "
@@ -112,7 +125,7 @@ def write_table(results, args):
         header="| latent space / decoder | best test recon "
                "| test LL (n=500) |",
         descriptions=DESCRIPTIONS, results=results, format_row=row,
-        section_title="Latent-space matrix (spherecube)")
+        section_title=title)
 
 
 def main(argv=None):
@@ -127,9 +140,19 @@ def main(argv=None):
     p.add_argument("--steps_per_call", type=int, default=19)
     p.add_argument("--compute_dtype", default="bfloat16")
     p.add_argument("--out", default="BENCHMARKS.md")
+    p.add_argument("--style", choices=["v1", "v2"], default="v1",
+                   help="render look; v2 (high-pose-contrast) makes the "
+                        "IW-LL rank pose models honestly — see BENCHMARKS "
+                        "'32k renders' section. v2 runs are named "
+                        "matrix-v2-* and write a separate table.")
+    p.add_argument("--device_data", action="store_true",
+                   help="keep the uint8 image cache device-resident "
+                        "(fits HBM at these sizes; large wall speedup)")
     args = p.parse_args(argv)
 
-    ensure_data(args.data_dir, args.n_images)
+    if args.style != "v1" and args.data_dir == "data/spherecube-8k":
+        args.data_dir = f"data/spherecube-{args.style}-8k"
+    ensure_data(args.data_dir, args.n_images, style=args.style)
     results = {}
     for name in args.configs:
         print(f"=== {name}: {DESCRIPTIONS[name]} ===")

@@ -14,7 +14,7 @@ from scripts import run_paper_configs as rpc
 
 def _args(out, **kw):
     defaults = dict(out=out, n_images=8192, epochs=240, max_early_stop=30,
-                    compute_dtype="bfloat16")
+                    compute_dtype="bfloat16", style="v1")
     defaults.update(kw)
     return types.SimpleNamespace(**defaults)
 
@@ -56,6 +56,33 @@ def test_latent_matrix_merge_preserves_rows(tmp_path):
     assert "| SO(3) latent, s2s2 mean, action decoder | 22.00 | -89.0 |" \
         in doc3
     assert "23.72" not in doc3
+
+
+def test_latent_matrix_v2_table_is_separate(tmp_path):
+    """--style v2 writes its own marker section and must not clobber the
+    v1 table (or vice versa)."""
+    out = str(tmp_path / "B.md")
+    rlm.write_table(
+        {"so3-s2s2-action": {"best_recon": 23.72, "ll": -90.87}},
+        _args(out))
+    rlm.write_table(
+        {"so3-s2s2-action": {"best_recon": 75.0, "ll": -80.1}},
+        _args(out, style="v2"))
+    doc = open(out).read()
+    assert doc.count(rlm.BEGIN) == 1
+    assert doc.count("<!-- latent-matrix-v2:begin -->") == 1
+    assert "| SO(3) latent, s2s2 mean, action decoder | 23.72 | -90.9 |" \
+        in doc
+    assert "| SO(3) latent, s2s2 mean, action decoder | 75.00 | -80.1 |" \
+        in doc
+    assert "v2 high-pose-contrast style" in doc
+    # updating the v1 table leaves the v2 section intact
+    rlm.write_table(
+        {"normal3-action": {"best_recon": 10.52, "ll": None}},
+        _args(out))
+    doc2 = open(out).read()
+    assert "| SO(3) latent, s2s2 mean, action decoder | 75.00 | -80.1 |" \
+        in doc2
 
 
 def test_paper_configs_merge(tmp_path):
