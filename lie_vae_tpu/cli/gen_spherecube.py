@@ -35,16 +35,22 @@ def generate(num, out_dir, step_size, size=64, pairs=True, seed=0,
 
     from lie_vae_tpu import ops
 
-    key = jax.random.PRNGKey(seed)
-    k_a, k_d = jax.random.split(key)
-    a_r = ops.random_group_matrices(k_a, num)
-    if pairs:
-        d = ops.expmap(jax.random.normal(k_d, (num, 3)) * step_size)
-        b_r = a_r @ d
-        r = jnp.stack([a_r, b_r], 1)                    # (num, 2, 3, 3)
-    else:
-        r = a_r[:, None]                                # (num, 1, 3, 3)
-    q = ops.group_matrix_to_quaternions(r)
+    # one jitted program: eager dispatch on the tunneled TPU runtime is a
+    # remote compile PER OP (minutes for this handful of ops); jitted it
+    # is one compile + one call
+    @jax.jit
+    def _poses(key):
+        k_a, k_d = jax.random.split(key)
+        a_r = ops.random_group_matrices(k_a, num)
+        if pairs:
+            d = ops.expmap(jax.random.normal(k_d, (num, 3)) * step_size)
+            b_r = a_r @ d
+            r = jnp.stack([a_r, b_r], 1)                # (num, 2, 3, 3)
+        else:
+            r = a_r[:, None]                            # (num, 1, 3, 3)
+        return r, ops.group_matrix_to_quaternions(r)
+
+    r, q = _poses(jax.random.PRNGKey(seed))
 
     r_np = np.asarray(r)
     q_np = np.asarray(q)
