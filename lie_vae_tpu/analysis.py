@@ -110,7 +110,7 @@ def encodings_to_group_matrices(encodings, latent_mode):
     raise ValueError(f"unknown latent_mode {latent_mode!r}")
 
 
-def render_encoded_poses(rotations, size=64, align_to=None):
+def render_encoded_poses(rotations, size=64, align_to=None, style="v1"):
     """Render the sphere-cube at the poses an encoder assigns along a
     trajectory — the native equivalent of the reference notebook's
     Blender ``render_axes`` strips (toy_results.ipynb cell 13), using the
@@ -126,7 +126,7 @@ def render_encoded_poses(rotations, size=64, align_to=None):
     if align_to is not None:
         d = np.asarray(align_to, dtype=np.float32) @ R[0].T
         R = d[None] @ R
-    return render_spherecube(R, size=size)
+    return render_spherecube(R, size=size, style=style)
 
 
 def pca(x, n_components=2):

@@ -64,7 +64,7 @@ def load_checkpointed_model(name, args):
                                  batch_stats=variables.get("batch_stats",
                                                            {}),
                                  tx=tx)
-    ckpt = os.path.join("outputs", f"matrix-{name}", "checkpoint")
+    ckpt = os.path.join("outputs", f"{args.run_prefix}{name}", "checkpoint")
     state = restore_state(ckpt, template)
     out = {"params": state.params}
     if jax.tree_util.tree_leaves(state.batch_stats):
@@ -124,7 +124,8 @@ def run_config(name, args):
         jax.random.PRNGKey(7), args.n_traj, step=0.08))
 
     for traj_name, traj in (("circle", circle), ("random_walk", walk)):
-        xs = render_spherecube(traj, size=64).astype(np.float32)
+        xs = render_spherecube(traj, size=64,
+                               style=args.style).astype(np.float32)
         enc = analysis.encode_dataset(model, variables, xs)
         _, summary = analysis.discontinuity_score(enc)
         results[f"discontinuity_{traj_name}"] = summary
@@ -142,7 +143,7 @@ def run_config(name, args):
                     enc, latent_mode))
                 idx = np.linspace(0, len(enc) - 1, 10).astype(int)
                 strip = analysis.render_encoded_poses(
-                    mats[idx], size=64, align_to=traj[0])
+                    mats[idx], size=64, align_to=traj[0], style=args.style)
                 _plot_rows([xs[idx], strip],
                            os.path.join(args.out_dir,
                                         f"{name}_encoded_poses.png"),
@@ -166,12 +167,24 @@ def main(argv=None):
     p.add_argument("--compute_dtype", default="bfloat16")
     p.add_argument("--n_traj", type=int, default=200)
     p.add_argument("--out_dir", default="analysis_out/spherecube")
+    p.add_argument("--style", choices=["v1", "v2"], default="v1",
+                   help="render style for trajectories/strips; v2 also "
+                        "retargets the default checkpoint prefix, data "
+                        "dir and out dir to the matrix-v2-* runs")
     args = p.parse_args(argv)
+    args.run_prefix = "matrix-" if args.style == "v1" else \
+        f"matrix-{args.style}-"
+    if args.style != "v1":
+        if args.data_dir == "data/spherecube-8k":
+            args.data_dir = f"data/spherecube-{args.style}-8k"
+        if args.out_dir == "analysis_out/spherecube":
+            args.out_dir = f"analysis_out/spherecube-{args.style}"
     os.makedirs(args.out_dir, exist_ok=True)
 
     all_results = {}
     for name in args.configs:
-        ckpt = os.path.join("outputs", f"matrix-{name}", "checkpoint")
+        ckpt = os.path.join("outputs", f"{args.run_prefix}{name}",
+                            "checkpoint")
         if not os.path.isdir(ckpt):
             print(f"skip {name}: no checkpoint at {ckpt}")
             continue
@@ -186,7 +199,8 @@ def main(argv=None):
         "",
         f"Encoder discontinuity (per-step squared encoding jump) along "
         f"rendered SO(3) trajectories of {args.n_traj} poses, evaluated "
-        "on the latent-matrix checkpoints (outputs/matrix-*). Figures: "
+        f"on the latent-matrix checkpoints (outputs/{args.run_prefix}*, "
+        f"{args.style} renders). Figures: "
         "*_pca.png (trajectory in encoder space), *_encoded_poses.png "
         "(poses the encoder assigns), *_recon.png (reconstructions).",
         "",
