@@ -62,32 +62,45 @@ DESCRIPTIONS = {
 BEGIN, END = "<!-- paper-configs:begin -->", "<!-- paper-configs:end -->"
 
 
-def ensure_data(name):
+def _config_argv(name, style):
+    """The config's CLI argv, with the data dir retargeted for non-v1
+    render styles (so each style trains on its own renders)."""
+    argv = list(CONFIGS[name])
+    if style != "v1":
+        i = argv.index("--data_dir") + 1
+        argv[i] = argv[i].replace("-8k", f"-{style}-8k")
+    return argv
+
+
+def ensure_data(name, style="v1"):
     """Render the dataset a config needs if it isn't present (the same
     in-repo ray-caster run_latent_matrix.ensure_data uses)."""
     from lie_vae_tpu.cli.gen_spherecube import generate
-    pairs = "sc-pairs" in " ".join(CONFIGS[name])
-    data_dir = CONFIGS[name][CONFIGS[name].index("--data_dir") + 1]
+    argv = _config_argv(name, style)
+    pairs = "sc-pairs" in " ".join(argv)
+    data_dir = argv[argv.index("--data_dir") + 1]
     n = 4096 if pairs else 8192
     if os.path.isdir(data_dir) and len(os.listdir(data_dir)) >= n:
         return
     print(f"rendering {n} {'pairs' if pairs else 'images'} into "
           f"{data_dir} ...")
     generate(n, data_dir, step_size=2 * math.pi / 60 if pairs else 0.1,
-             pairs=pairs)
+             pairs=pairs, style=style)
 
 
 def run_config(name, args):
     from lie_vae_tpu.cli import main as cli_main
     from scripts._results_table import read_ll
 
-    ensure_data(name)
-    argv = CONFIGS[name] + [
+    ensure_data(name, style=args.style)
+    run_name = (f"paper-{name}" if args.style == "v1"
+                else f"paper-{args.style}-{name}")
+    argv = _config_argv(name, args.style) + [
         "--report_freq", str(args.report_freq),
         "--steps_per_call", str(args.steps_per_call),
         "--compute_dtype", args.compute_dtype,
         "--ll_batch", "32", "--ll_chunk", "50",
-        "--name", f"paper-{name}",
+        "--name", run_name,
     ]
     if args.epochs:
         argv += ["--epochs", str(args.epochs),
@@ -97,7 +110,7 @@ def run_config(name, args):
 
     # end-of-run test KL from the metrics stream (controller evidence)
     kl = None
-    metrics_path = os.path.join("runs", f"paper-{name}", "metrics.jsonl")
+    metrics_path = os.path.join("runs", run_name, "metrics.jsonl")
     if os.path.exists(metrics_path):
         with open(metrics_path) as f:
             for line in f:
@@ -105,7 +118,7 @@ def run_config(name, args):
                 if rec.get("tag") == "test_kl":
                     kl = rec["value"]
     return {"best_recon": float(exp.best_value),
-            "ll": read_ll(f"paper-{name}"), "kl": kl}
+            "ll": read_ll(run_name), "kl": kl}
 
 
 def write_table(results, args):
@@ -116,19 +129,27 @@ def write_table(results, args):
         kl = f"{r['kl']:.2f}" if r["kl"] is not None else "—"
         return f"| {desc} | {r['best_recon']:.2f} | {kl} | {ll} |"
 
+    begin, end = BEGIN, END
+    title = "Regularized / KL-controlled runs (reference presets)"
+    style_note = ""
+    if args.style != "v1":
+        begin = f"<!-- paper-configs-{args.style}:begin -->"
+        end = f"<!-- paper-configs-{args.style}:end -->"
+        title += f" — {args.style} renders"
+        style_note = f", {args.style} high-pose-contrast style"
+
     merge_marker_table(
-        args.out, BEGIN, END,
+        args.out, begin, end,
         caption=(
             "Reference preset combinations through `lie_vae_tpu.cli.main` "
             "(driven by `scripts/run_paper_configs.py`); spherecube/"
             "sc-pairs data from the in-repo renderer (8192 images / 4096 "
-            f"pairs), compute_dtype={args.compute_dtype}. LL = "
-            "importance-sampled test log-likelihood, n=500."),
+            f"pairs{style_note}), compute_dtype={args.compute_dtype}. "
+            "LL = importance-sampled test log-likelihood, n=500."),
         header="| config | best test recon | final test KL "
                "| test LL (n=500) |",
         descriptions=DESCRIPTIONS, results=results, format_row=row,
-        section_title="Regularized / KL-controlled runs "
-                      "(reference presets)")
+        section_title=title)
 
 
 def main(argv=None):
@@ -142,8 +163,11 @@ def main(argv=None):
     p.add_argument("--steps_per_call", type=int, default=19)
     p.add_argument("--compute_dtype", default="bfloat16")
     p.add_argument("--out", default="BENCHMARKS.md")
+    p.add_argument("--style", choices=["v1", "v2"], default="v1",
+                   help="render look; v2 runs are named paper-v2-* on "
+                        "their own datasets and write a separate table")
     # unrecognized flags pass through to every config's CLI invocation
-    # (e.g. --subsample 0.05 for smoke runs)
+    # (e.g. --subsample 0.05 for smoke runs, --device_data)
     args, extra = p.parse_known_args(argv)
     args.extra = extra
 
