@@ -44,10 +44,10 @@ def _real_batch(data_dir, batch):
     """(batch, 64, 64, 3) float32 of real renders; renders a minimal set
     on first use when the directory is absent."""
     import numpy as np
-    from lie_vae_tpu.data import SphereCubeDataset
+    from lie_vae_tpu.data import SphereCubeDataset, count_renders
 
     min_images = max(batch, 256)
-    if not os.path.isdir(data_dir) or len(os.listdir(data_dir)) < min_images:
+    if count_renders(data_dir) < min_images:
         from lie_vae_tpu.cli.gen_spherecube import generate
         print(f"rendering {min_images} spherecube images into {data_dir} "
               "(one-time)", file=sys.stderr)

@@ -59,6 +59,11 @@ def generate(num, out_dir, step_size, size=64, pairs=True, seed=0,
 
     os.makedirs(out_dir, exist_ok=True)
     if use_blender:
+        if style != "v1":
+            raise ValueError(
+                f"style={style!r} is a ray-caster look; the Blender "
+                "backend renders cube.blend only (drop --blender or "
+                "--style)")
         _render_blender(r_np, names, out_dir, size)
     else:
         _render_numpy(r_np, names, out_dir, size, style=style)

@@ -251,9 +251,12 @@ def parse_args(argv=None):
                         help="conv/MLP compute dtype, e.g. bfloat16 "
                              "(params and Lie math stay float32)")
     parser.add_argument("--kernel_impl", default="xla",
-                        help="[xla, pallas, auto] impl of the fused "
-                             "Lie-group ops (Pallas kernels have custom-VJP "
-                             "backwards, safe for training)")
+                        help="[xla, fused, pallas, auto] impl of the "
+                             "Lie-group ops ('fused' = single-Pallas-kernel "
+                             "Wigner chain, fastest at serving batch; "
+                             "'auto' picks by measured crossover; Pallas "
+                             "kernels have custom-VJP backwards, safe for "
+                             "training)")
     parser.add_argument("--density_k", type=int, default=10,
                         help="wrapping shells of the SO(3) posterior "
                              "density (reference hardcodes 10); raise when "

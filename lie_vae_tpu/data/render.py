@@ -215,7 +215,6 @@ def _intersect(o, d, style="v1"):
         # in-plane brightness ramp that breaks the checker's 90-degree
         # rotational symmetry (each face's in-plane orientation becomes
         # identifiable, like a textured cube.blend face)
-        axes = np.arange(3)
         uv_axes = np.stack([np.where(face_axis == 0, 1, 0),
                             np.where(face_axis == 2, 1, 2)], axis=-1)
         u = np.take_along_axis(p, uv_axes[..., :1], axis=-1)[..., 0]
@@ -233,7 +232,6 @@ def _intersect(o, d, style="v1"):
             7.0 * np.arctan2(n_sph[..., 1], n_sph[..., 0])
             + 9.0 * n_sph[..., 2])
         a_sph = a_sph * (0.45 + 0.55 * band[..., None])
-        del axes
 
     normal = np.where(cube_bounds[..., None], n_cube, n_sph)
     albedo = np.where(cube_bounds[..., None], a_cube,

@@ -38,6 +38,19 @@ def filename_to_name(filename):
     return match.group(1)
 
 
+def count_renders(directory):
+    """Number of rendered images under ``directory`` (0 if absent).
+
+    Counts only jpg/png files — dataset dirs also accumulate non-image
+    files (e.g. the loader's persistent decode cache), so a plain
+    ``len(os.listdir())`` over-counts and can skip a needed render.
+    """
+    if not os.path.isdir(directory):
+        return 0
+    return (len(glob(os.path.join(directory, "**/*.jpg"), recursive=True))
+            + len(glob(os.path.join(directory, "**/*.png"), recursive=True)))
+
+
 def _load_image(path, rgb):
     from PIL import Image
     img = np.asarray(Image.open(path), dtype=np.float32) / 255.0

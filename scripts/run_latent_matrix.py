@@ -65,7 +65,8 @@ BEGIN, END = "<!-- latent-matrix:begin -->", "<!-- latent-matrix:end -->"
 
 def ensure_data(data_dir, n_images, style="v1"):
     from lie_vae_tpu.cli.gen_spherecube import generate
-    if os.path.isdir(data_dir) and len(os.listdir(data_dir)) >= n_images:
+    from lie_vae_tpu.data import count_renders
+    if count_renders(data_dir) >= n_images:
         return
     print(f"rendering {n_images} spherecube images into {data_dir} ...")
     generate(n_images, data_dir, step_size=0.1, pairs=False, style=style)

@@ -76,11 +76,12 @@ def ensure_data(name, style="v1"):
     """Render the dataset a config needs if it isn't present (the same
     in-repo ray-caster run_latent_matrix.ensure_data uses)."""
     from lie_vae_tpu.cli.gen_spherecube import generate
+    from lie_vae_tpu.data import count_renders
     argv = _config_argv(name, style)
     pairs = "sc-pairs" in " ".join(argv)
     data_dir = argv[argv.index("--data_dir") + 1]
     n = 4096 if pairs else 8192
-    if os.path.isdir(data_dir) and len(os.listdir(data_dir)) >= n:
+    if count_renders(data_dir) >= n:
         return
     print(f"rendering {n} {'pairs' if pairs else 'images'} into "
           f"{data_dir} ...")

@@ -50,11 +50,20 @@ def _run_workers(num_processes, local_devices, tmp_path, timeout=600):
              "--out", out],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
     logs = []
-    for p in procs:
-        stdout, _ = p.communicate(timeout=timeout)
-        logs.append(stdout.decode(errors="replace"))
-        assert p.returncode == 0, (
-            f"worker exited {p.returncode}:\n" + "\n---\n".join(logs))
+    try:
+        for p in procs:
+            stdout, _ = p.communicate(timeout=timeout)
+            logs.append(stdout.decode(errors="replace"))
+            assert p.returncode == 0, (
+                f"worker exited {p.returncode}:\n" + "\n---\n".join(logs))
+    finally:
+        # a worker crash (or communicate timeout) must not leak the other
+        # workers: they block on the coordination service forever and
+        # contend with the rest of the suite on this single-CPU host
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
     return [json.load(open(o)) for o in outs]
 
 
