@@ -37,7 +37,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from lie_vae_tpu.ops.wigner import _coeffs
+from lie_vae_tpu.ops.wigner import _coeffs, _trig_basis
 
 
 @functools.lru_cache(maxsize=16)
@@ -249,9 +249,7 @@ def block_wigner_matrix_multiply_pallas(angles, spectrum, max_degree,
 
     # host-side tiny precompute (XLA-fused, differentiable): trig features
     a, b, g = angles[:, 0], angles[:, 1], angles[:, 2]
-    m = jnp.arange(0, L + 1, dtype=jnp.float32)
-    arg = b[:, None] * m[None, :]
-    t = jnp.concatenate([jnp.cos(arg), jnp.sin(arg[:, 1:])], axis=-1)
+    t = _trig_basis(b, L)                              # (B, 2L+1)
     ca, sa = jnp.cos(freqs * a[:, None]), jnp.sin(freqs * a[:, None])
     cg, sg = jnp.cos(freqs * g[:, None]), jnp.sin(freqs * g[:, None])
 

@@ -24,6 +24,7 @@ __all__ = [
     "s2s1rodrigues", "s2s2_gram_schmidt", "vector_to_eazyz",
     "group_matrix_to_quaternions", "quaternions_to_eazyz",
     "group_matrix_to_eazyz", "quaternions_to_group_matrix",
+    "eazyz_to_group_matrix",
     "random_quaternions", "random_group_matrices",
 ]
 

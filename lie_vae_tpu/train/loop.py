@@ -20,7 +20,6 @@ TPU-first re-design:
 import itertools
 import math
 import time
-from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -76,7 +75,16 @@ class UnsupervisedExperiment:
             num_shards=n_proc, shard_index=pid)
 
         self._rng = jax.random.PRNGKey(seed)
-        self._eval_rng = jax.random.PRNGKey(0)
+        # eval and IW-LL both fold small batch/chunk integers into their
+        # base key, so each stream gets its own fold tag — a shared
+        # PRNGKey(0) base made fold_in(base, i) bitwise-identical across
+        # the two estimators (correlated MC noise). test() additionally
+        # advances per call (_eval_seq) so report noise is redrawn like
+        # the reference's test() (unsupervised.py:58-67) while staying
+        # run-deterministic.
+        self._eval_rng = jax.random.fold_in(jax.random.PRNGKey(seed), 1)
+        self._ll_rng = jax.random.fold_in(jax.random.PRNGKey(seed), 2)
+        self._eval_seq = 0
         # report-window metrics accumulate DEVICE-side into fixed-shape
         # (sums, count) state, updated once per dispatch group — the r1
         # design reduced the whole window in one jitted call keyed on the
@@ -257,18 +265,31 @@ class UnsupervisedExperiment:
                 encoding = stats[0].z[0]
 
                 if use_eq:
+                    # the reference's second encoder pass
+                    # (model.encode(img_rot), equivariance_loss.py:34) runs
+                    # in train mode, so it also advances BN running stats —
+                    # sequentially after the main forward. Chain the main
+                    # pass's mutated stats in and keep the second mutation
+                    # as the step's output.
+                    eq_vars = self._variables(
+                        params, mut.get("batch_stats") if has_bn else None)
+                    eq_mut_cell = {}
+
                     def encode_fn(img):
-                        out = model.apply(
-                            variables, img, n=1, train=True,
-                            method="encode", rngs={"sample": k_eq_enc},
-                            mutable=mutable)
                         # apply() with a mutable list (even empty) returns
                         # (out, mutated_vars)
-                        return out[0][0].z[0]
+                        out, eq_mut = model.apply(
+                            eq_vars, img, n=1, train=True,
+                            method="encode", rngs={"sample": k_eq_enc},
+                            mutable=mutable)
+                        eq_mut_cell.update(eq_mut)
+                        return out[0].z[0]
 
                     eq, _ = equivariance_loss(encode_fn, x, encoding, k_eq)
                     loss = loss + lamb_eq * eq
                     metrics["equivariance"] = eq
+                    if has_bn:
+                        mut = eq_mut_cell
                 if use_cont:
                     cont, _ = encoder_continuity_loss(encoding)
                     loss = loss + lamb_cont * cont
@@ -487,6 +508,19 @@ class UnsupervisedExperiment:
         return np.mean(np.concatenate(
             [np.asarray(o)[:n] for o, n in results]), axis=0)
 
+    @staticmethod
+    def _first_eval_batch(it):
+        """First eval batch, or a loud error for an empty loader (whose
+        NaN means would otherwise flow silently into best_value/TB)."""
+        first = next(it, None)
+        if first is None:   # e.g. multi-host test set < one global batch
+            raise RuntimeError(
+                "test(): evaluation loader produced no batches — test "
+                "metrics and best_value would silently become NaN. "
+                "Check the validation split size (multi-host: each "
+                "process needs at least one full shard of a batch).")
+        return first
+
     def test(self):
         """Full pass over the validation loader; returns
         (recon, kl, *kls) means — uniform over batches, the reference's
@@ -497,7 +531,8 @@ class UnsupervisedExperiment:
         (n_valid=0) whose output rows are dropped host-side, so every chunk
         reuses one compiled program.
         """
-        rng = self._eval_rng
+        rng = jax.random.fold_in(self._eval_rng, self._eval_seq)
+        self._eval_seq += 1
         dsize = self.mesh.shape["data"] if self.mesh is not None else 1
         # multi-host: the loader yields the process-LOCAL shard but _put()
         # assembles the GLOBAL batch, so the in-step valid count is the
@@ -509,13 +544,7 @@ class UnsupervisedExperiment:
             data, factor = self._device_test
             rows = (self._expand_item_indices(idx, factor)
                     for idx in self.test_loader._index_batches())
-            first = next(rows, None)
-            if first is None:
-                raise RuntimeError(
-                    "test(): evaluation loader produced no batches — test "
-                    "metrics and best_value would silently become NaN. "
-                    "Check the validation split size (multi-host: each "
-                    "process needs at least one full shard of a batch).")
+            first = self._first_eval_batch(rows)
             # full batches come first, so the first row count is the max
             width = first.shape[0] + (-first.shape[0]) % dsize
             out = self._eval_chunks(
@@ -527,13 +556,7 @@ class UnsupervisedExperiment:
                     jnp.asarray(nvs), rng, offs))
         else:
             batches = (np.asarray(b[-1]) for b in self.test_loader)
-            first = next(batches, None)
-            if first is None:   # e.g. multi-host test set < one global batch
-                raise RuntimeError(
-                    "test(): evaluation loader produced no batches — test "
-                    "metrics and best_value would silently become NaN. "
-                    "Check the validation split size (multi-host: each "
-                    "process needs at least one full shard of a batch).")
+            first = self._first_eval_batch(batches)
             # local rows only need the PER-PROCESS share of the data axis;
             # rounding to the global size would pad inside each block
             per = max(1, dsize // n_proc)
@@ -772,7 +795,7 @@ class UnsupervisedExperiment:
         loader = BatchLoader(dataset, batch_size, shuffle=True,
                              drop_last=False)
         vals, seen = [], 0
-        rng = jax.random.PRNGKey(0)
+        rng = self._ll_rng
         for i, batch in enumerate(loader):
             if max_items is not None and seen >= max_items:
                 break

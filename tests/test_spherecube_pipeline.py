@@ -119,6 +119,39 @@ def test_equivariance_training_without_batchnorm(spherecube_dir):
     assert np.isfinite(exp.test()).all()
 
 
+def test_equivariance_second_pass_updates_batch_stats(spherecube_dir):
+    """The reference's equivariance term encodes the rotated batch in train
+    mode (equivariance_loss.py:34), so BN running statistics advance a
+    second time each step. Pin that the second pass's stats mutation is
+    kept: with lamb=0 the regularizer contributes nothing to the loss
+    (params must match the no-regularizer run bitwise), so differing
+    batch_stats can only come from the chained second encoder pass."""
+    import jax
+
+    def run(with_eq):
+        ds = SphereCubeDataset(directory=spherecube_dir)
+        model = LieVAE(latent_mode="so3", decoder_mode="action",
+                       mean_mode="s2s2", encode_mode="conv",
+                       deconv_mode="deconv", degrees=2, rep_copies=2,
+                       deconv_hidden=8, rgb=True, batch_norm=True)
+        exp = UnsupervisedExperiment(
+            model=model, train_dataset=ds, test_dataset=ds,
+            beta_schedule=ConstantSchedule(1.0), batch_size=8,
+            report_freq=10 ** 9, lr=1e-3, clip_grads=1e-5,
+            equivariance_lamb=(lambda it: 0.0) if with_eq else None)
+        exp.train(0)
+        return (jax.tree_util.tree_leaves(exp.state.params),
+                jax.tree_util.tree_leaves(exp.state.batch_stats))
+
+    eq_params, eq_stats = run(True)
+    params, stats = run(False)
+    for a, b in zip(eq_params, params):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert any(not np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(eq_stats, stats)), \
+        "second encoder pass did not advance BN running statistics"
+
+
 def test_beta_zero_skips_nan_kl(spherecube_dir):
     """Regression: with beta == 0 a NaN-producing KL (fixed_sigma=0 ->
     log(0)) must not poison gradients or trip the NaN guard — the reference
