@@ -62,12 +62,20 @@ def encode_dataset(model, variables, xs, batch_size=256):
     means, not one noisy sample (sampling noise would pollute the
     discontinuity statistics)."""
     model = model.clone(deterministic=True)
+
+    # jitted with variables as an ARGUMENT (axon rule: eager dispatch is
+    # seconds per op through the tunnel, and closed-over params miscompile
+    # — see CLAUDE.md); one compile per distinct batch shape (the tail)
+    @jax.jit
+    def _encode(variables, x):
+        stats = model.apply(variables, x, n=1, train=False,
+                            method="encode",
+                            rngs={"sample": jax.random.PRNGKey(0)})
+        return stats[0].z[0]
+
     outs = []
     for i in range(0, len(xs), batch_size):
-        stats = model.apply(variables, jnp.asarray(xs[i:i + batch_size]),
-                            n=1, train=False, method="encode",
-                            rngs={"sample": jax.random.PRNGKey(0)})
-        z = np.asarray(stats[0].z[0])
+        z = np.asarray(_encode(variables, jnp.asarray(xs[i:i + batch_size])))
         outs.append(z.reshape(z.shape[0], -1))
     return np.concatenate(outs, 0)
 
@@ -100,13 +108,21 @@ def encodings_to_group_matrices(encodings, latent_mode):
     e = jnp.asarray(encodings)
     if latent_mode == "so3":
         return e.reshape(-1, 3, 3)
-    if latent_mode in ("vmf", "vmfq"):
+    if latent_mode == "vmfq":
+        # 'vmf' is deliberately excluded: that mode's S^3 latent never
+        # passes through the quaternion chart in the model (it is
+        # MLP-decoded directly), so a quaternion reading here would
+        # render poses the decoder never sees
         return ops.quaternions_to_group_matrix(e.reshape(-1, 4))
     if latent_mode == "normal":
         if e.shape[-1] != 3:
             raise ValueError(
                 "only 3-dim normal latents have a rotation interpretation")
         return ops.eazyz_to_group_matrix(ops.vector_to_eazyz(e))
+    if latent_mode == "vmf":
+        raise ValueError(
+            "latent_mode='vmf' encodings have no rotation interpretation "
+            "(the model MLP-decodes the S^3 latent directly); use 'vmfq'")
     raise ValueError(f"unknown latent_mode {latent_mode!r}")
 
 
@@ -143,12 +159,16 @@ def reconstruction_error(model, variables, xs, batch_size=256):
     the model is cloned with deterministic=True so stochastic configs are
     evaluated at their posterior means."""
     model = model.clone(deterministic=True)
-    errs = []
-    for i in range(0, len(xs), batch_size):
-        x = jnp.asarray(xs[i:i + batch_size])
+
+    @jax.jit
+    def _recon_err(variables, x):
         (x_recon, _) = model.apply(
             variables, x, n=1, train=False,
             rngs={"sample": jax.random.PRNGKey(0)})
-        r = model.recon_loss(x_recon, x)
-        errs.append(np.asarray(r).reshape(-1))
+        return model.recon_loss(x_recon, x)
+
+    errs = []
+    for i in range(0, len(xs), batch_size):
+        x = jnp.asarray(xs[i:i + batch_size])
+        errs.append(np.asarray(_recon_err(variables, x)).reshape(-1))
     return float(np.mean(np.concatenate(errs)))

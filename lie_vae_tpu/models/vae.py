@@ -93,6 +93,15 @@ class LieVAE(nn.Module):
             if self.decoder_mode != "mlp" and self.normal_dims != 3:
                 raise ValueError("Normal Action must be 3 dim")
             in_dims = max(in_dims, self.normal_dims)
+        if self.latent_mode == "vmf" and self.decoder_mode == "action":
+            # inherited from the reference but made loud: decode would
+            # route the 4-dim S^3 latent through vector_to_eazyz, whose
+            # (pi, pi/2, pi) scaling only broadcasts against 3 dims
+            # (vae.py:183-184 crashes identically). 'vmfq' is the
+            # quaternion chart meant for the action decoder.
+            raise ValueError(
+                "latent_mode='vmf' has no Euler chart for the action "
+                "decoder; use decoder_mode='mlp' or latent_mode='vmfq'")
         return in_dims
 
     def setup(self):

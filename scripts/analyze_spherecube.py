@@ -77,8 +77,11 @@ def recon_strip(model, variables, xs, n_frames=10):
     model = model.clone(deterministic=True)
     idx = np.linspace(0, len(xs) - 1, n_frames).astype(int)
     x = jnp.asarray(xs[idx])
-    recon, _ = model.apply(variables, x, n=1, train=False,
-                           rngs={"sample": jax.random.PRNGKey(0)})
+    # jit with variables as an argument (axon: eager dispatch is seconds
+    # per op; closed-over params miscompile — CLAUDE.md)
+    recon, _ = jax.jit(lambda v, x: model.apply(
+        v, x, n=1, train=False,
+        rngs={"sample": jax.random.PRNGKey(0)}))(variables, x)
     return np.asarray(x), np.asarray(recon)[0]
 
 
