@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from lie_vae_tpu import analysis, ops
 from lie_vae_tpu.data import ToyDataset
@@ -92,6 +93,10 @@ def test_encodings_to_group_matrices(key):
     eye = np.broadcast_to(np.eye(3), out.shape)
     np.testing.assert_allclose(out @ np.swapaxes(out, -1, -2), eye, atol=1e-5)
     np.testing.assert_allclose(np.linalg.det(out), 1.0, atol=1e-5)
+    # 'vmf' has no rotation interpretation (the model MLP-decodes the S^3
+    # latent directly) — must refuse loudly, pointing at 'vmfq'
+    with pytest.raises(ValueError, match="vmfq"):
+        analysis.encodings_to_group_matrices(np.zeros((5, 4)), "vmf")
 
 
 def test_render_encoded_poses_alignment(key):

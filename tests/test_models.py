@@ -48,6 +48,17 @@ def test_image_configs_forward(cfg):
     assert np.isfinite(np.asarray(kl)).all()
 
 
+def test_vmf_action_fails_fast():
+    # the 4-dim S^3 latent has no Euler chart for the action decoder
+    # (the reference crashes the same way, but only inside decode —
+    # vae.py:183-184); here it must refuse at init, pointing at 'vmfq'
+    model = LieVAE(latent_mode="vmf", decoder_mode="action",
+                   encode_mode="conv", deconv_mode="deconv", rgb=True,
+                   degrees=2, deconv_hidden=8, rep_copies=2)
+    with pytest.raises(ValueError, match="vmfq"):
+        _init_and_run(model, jnp.zeros((2, 64, 64, 3)))
+
+
 def test_toy_config_forward(key):
     model = LieVAE(latent_mode="so3", decoder_mode="action",
                    encode_mode="toy", deconv_mode="toy",
