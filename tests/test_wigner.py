@@ -22,13 +22,25 @@ def _naive_wigner(angles, l, dtype=jnp.float64):
 
 
 def test_j_matrix_properties():
-    for l in range(9):
-        J = j_matrix(l)
+    # every shipped table (lmax=16): symmetric involution
+    l = 0
+    while True:
+        try:
+            J = j_matrix(l)
+        except ValueError:
+            break
         eye = np.eye(2 * l + 1)
         np.testing.assert_allclose(J, J.T, atol=1e-12)
-        np.testing.assert_allclose(J @ J, eye, atol=1e-12)
+        np.testing.assert_allclose(J @ J, eye, atol=1e-11)
+        l += 1
+    assert l >= 17, f"expected tables through l=16, found lmax={l - 1}"
     np.testing.assert_allclose(
         j_matrix(1), [[0, 1, 0], [1, 0, 0], [0, 0, -1]], atol=1e-12)
+
+
+def test_j_matrix_beyond_lmax_raises():
+    with pytest.raises(ValueError, match="_gen_jd"):
+        j_matrix(99)
 
 
 @pytest.mark.parametrize("l", range(7))
@@ -72,6 +84,47 @@ def test_antihomomorphism(key, l):
     wb = ops.wigner_d_matrix(ops.group_matrix_to_eazyz(rb), l)
     wc = ops.wigner_d_matrix(ops.group_matrix_to_eazyz(ra @ rb), l)
     np.testing.assert_allclose(wb @ wa, wc, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("l", [10, 13, 16])
+def test_high_degree_synthesis_and_orthogonality(key, l):
+    """Training uses L<=6 and the serving benchmarks L=10, but the shipped
+    tables go to l=16 — pin synthesis==chain and orthogonality over the
+    whole advertised range."""
+    r = ops.random_group_matrices(key, 128, dtype=jnp.float64)
+    angles = ops.group_matrix_to_eazyz(r)
+    W = ops.wigner_d_matrix(angles, l)
+    np.testing.assert_allclose(W, _naive_wigner(angles, l),
+                               rtol=1e-9, atol=1e-9)
+    eye = jnp.broadcast_to(jnp.eye(2 * l + 1), W.shape)
+    np.testing.assert_allclose(W @ jnp.swapaxes(W, -1, -2), eye,
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_high_degree_antihomomorphism(key):
+    l = 16
+    ka, kb = jax.random.split(key)
+    ra = ops.random_group_matrices(ka, 500, dtype=jnp.float64)
+    rb = ops.random_group_matrices(kb, 500, dtype=jnp.float64)
+    wa = ops.wigner_d_matrix(ops.group_matrix_to_eazyz(ra), l)
+    wb = ops.wigner_d_matrix(ops.group_matrix_to_eazyz(rb), l)
+    wc = ops.wigner_d_matrix(ops.group_matrix_to_eazyz(ra @ rb), l)
+    np.testing.assert_allclose(wb @ wa, wc, rtol=1e-3, atol=1e-3)
+
+
+def test_zjz_apply_high_degree(key):
+    # serving-scale rep (L=10, S=121): factored apply == dense synthesis
+    L = 10
+    k1, k2 = jax.random.split(key)
+    ang = jax.random.uniform(k1, (16, 3), minval=-3.0, maxval=3.0)
+    spec = jax.random.normal(k2, (16, (L + 1) ** 2, 5))
+    from lie_vae_tpu.ops import wigner
+    for tr in (False, True):
+        ref = wigner.block_wigner_matrix_multiply(
+            ang, spec, L, transpose=tr, impl="dense")
+        got = wigner.block_wigner_apply_zjz(ang, spec, L, transpose=tr)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=5e-5, atol=5e-5)
 
 
 def test_l1_intertwines_with_rotation(key):
