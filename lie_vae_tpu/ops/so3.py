@@ -92,15 +92,22 @@ rodrigues = expmap
 
 
 def logmap(R):
-    """Log map SO(3) -> so(3) (3x3 algebra element), fully batched.
+    """Log map SO(3) -> so(3) (3x3 algebra element), fully batched and
+    TOTAL — defined on all of SO(3) including the theta = pi antipodes.
 
-    theta = acos((tr R - 1)/2); X = theta / (2 sin theta) * (R - R^T).
+    Generic branch: theta = acos((tr R - 1)/2);
+    X = theta / (2 sin theta) * (R - R^T), Taylor-guarded at theta -> 0.
+    Near the antipode (cos theta < -0.9) the antisymmetric part vanishes
+    and that formula degenerates, so the axis is recovered through the
+    Shepperd quaternion extraction instead (stable in every trace regime;
+    this repo's reference-pinned layout is q = (xyz, w) with the vector
+    part NEGATED relative to Hamilton, hence the -2 factor below). At
+    exactly theta = pi both +/- axis logs are valid; the quaternion
+    case-select makes a deterministic choice.
+
     Reference: log_map, lie_vae/lie_tools.py:100-109 — which uses
-    ``torch.trace`` and therefore only supports a single matrix; this version
-    batches over leading dims and is Taylor-guarded at theta -> 0.
-
-    Note: like the reference, not valid at theta = pi (the antipode), where
-    R - R^T vanishes.
+    ``torch.trace`` (single-matrix only) and NaNs at both theta -> 0 and
+    the antipode; this version batches over leading dims and is total.
     """
     R = jnp.asarray(R)
     tr = jnp.trace(R, axis1=-2, axis2=-1)[..., None, None]
@@ -114,7 +121,21 @@ def logmap(R):
     # theta / sin(theta) ~ 1 + t^2/6 + 7 t^4 / 360
     coef = jnp.where(small, 1.0 + t2 / 6.0 + 7.0 * t2 * t2 / 360.0,
                      ts / jnp.sin(ts))
-    return coef * 0.5 * (R - jnp.swapaxes(R, -1, -2))
+    x_generic = coef * 0.5 * (R - jnp.swapaxes(R, -1, -2))
+
+    # antipode branch: v = -theta * xyz / |xyz| from the (w>=0) quaternion.
+    q = group_matrix_to_quaternions(R)
+    q = q * jnp.where(q[..., 3:4] < 0, -1.0, 1.0)
+    n2 = jnp.sum(q[..., :3] ** 2, axis=-1, keepdims=True)
+    # double-where sqrt guard (n -> 0 only far from the antipode, where
+    # this branch is discarded — but its grads must stay finite)
+    tiny = n2 < 1e-12
+    n = jnp.sqrt(jnp.where(tiny, 1.0, n2))
+    scale = jnp.where(tiny, -2.0, -2.0 * jnp.arctan2(n, q[..., 3:4]) / n)
+    x_pi = hat(scale * q[..., :3])
+
+    near_pi = cos_t < -0.9
+    return jnp.where(near_pi, x_pi, x_generic)
 
 
 # Reference-parity alias.

@@ -175,6 +175,45 @@ def test_jit_compatibility(key):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_logmap_total_at_antipode(key):
+    """The reference's log_map NaNs at theta = pi (R - R^T = 0,
+    lie_tools.py:100-109); ours must recover the axis there (and nearby)
+    through the quaternion branch. Accuracy in that regime is bounded by
+    the Shepperd extraction's 1e-6 denominator guard."""
+    # exactly pi about the principal axes and about random axes
+    a = jax.random.normal(key, (64, 3), dtype=jnp.float64)
+    a = a / jnp.linalg.norm(a, axis=-1, keepdims=True)
+    a = jnp.concatenate([jnp.eye(3, dtype=jnp.float64), a], 0)
+    for theta in (np.pi, np.pi - 1e-5, np.pi - 1e-2, 2.8):
+        R = ops.expmap(theta * a)
+        v = ops.vee(ops.logmap(R))
+        assert np.isfinite(np.asarray(v)).all()
+        R2 = ops.expmap(v)
+        np.testing.assert_allclose(np.asarray(R2), np.asarray(R),
+                                   atol=5e-6,
+                                   err_msg=f"theta={theta}")
+        # the recovered angle is the wrapped one
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(v), axis=-1),
+                                   theta, atol=5e-6)
+    # gradients stay finite through the antipode branch (and through the
+    # unselected generic branch's where)
+    g = jax.grad(lambda vv: jnp.sum(ops.logmap(ops.expmap(vv)) ** 2))(
+        (np.pi - 1e-3) * a[3:8])
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_logmap_branch_boundary_consistent(key):
+    # the generic<->quaternion switch at cos(theta) = -0.9 must be seamless
+    a = jax.random.normal(key, (128, 3), dtype=jnp.float64)
+    a = a / jnp.linalg.norm(a, axis=-1, keepdims=True)
+    theta = np.arccos(-0.9)
+    for t in (theta - 1e-4, theta + 1e-4):
+        v = t * a
+        back = ops.vee(ops.logmap(ops.expmap(v)))
+        np.testing.assert_allclose(np.asarray(back), np.asarray(v),
+                                   atol=2e-6)
+
+
 def test_logmap_taylor_branch_reachable():
     """Regression: the cos clip floors theta at ~4.5e-4, so the Taylor
     branch threshold must exceed it; near-identity logs stay exact."""
