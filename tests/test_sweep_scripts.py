@@ -117,6 +117,7 @@ def test_r2_driver_scripts_import_and_parse():
         ("scripts.profile_step", True),
         ("scripts.bench_sol", False),
         ("scripts.bench_reference_torch", True),
+        ("scripts.run_degree_sweep", True),
     ]:
         m = importlib.import_module(mod)
         assert hasattr(m, "main")
