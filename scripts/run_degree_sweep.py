@@ -10,11 +10,19 @@ s2s2-chart action auto-encoder with the ground-truth fixed spectrum
 (the pose-recovery task of lie_vae/experiments/main.py:38-39), and
 reports test recon + the encoder-discontinuity diagnostic.
 
-Expected shape of the result: recon falls with L (more pose-revealing
-signal per sample as the rep sharpens) while the encoder stays
-continuous; a blow-up at high L would indicate the high-degree Wigner
-path breaks under training, which the kernel-level property tests
-cannot see.
+Reading the result: raw recon is NOT comparable across L — the toy
+spectrum has fixed norm 10 at every degree while high-l blocks
+decorrelate faster under rotation, so the same angular error costs more
+recon at larger L. The scale-free column is pose COVERAGE (the spectrum
+is fixed to ground truth, so the pose is identifiable): the geodesic
+error distribution is bimodal — gradient descent either recovers a pose
+to a few degrees or sticks at the classic 180-degree flip local minima
+of SO(3) registration (the paper's non-convex landscape) — so we count
+the fraction within 10 degrees and the fraction at flips. The
+continuity columns check the encoder stays smooth. A blow-up (NaNs,
+discontinuity saturation) at high L would indicate the high-degree
+Wigner path breaks under training, which the kernel-level property
+tests cannot see.
 
 Writes a marker table into TOY_RESULTS.md and per-L figures/JSON into
 --out_dir (default analysis_out/degree-sweep).
@@ -41,7 +49,7 @@ CONFIG = "ae-action-s2s2"
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--degrees", type=int, nargs="*", default=[2, 4, 6, 8, 10])
-    p.add_argument("--epochs", type=int, default=200)
+    p.add_argument("--epochs", type=int, default=600)
     p.add_argument("--rep_copies", type=int, default=4)
     p.add_argument("--n_data", type=int, default=1024)
     p.add_argument("--steps_per_call", type=int, default=8)
@@ -83,7 +91,10 @@ def main(argv=None):
 
     def row(desc, r):
         c, w = r["discontinuity_circle"], r["discontinuity_random_walk"]
-        return (f"| {desc} | {r['test_recon']:.3f} "
+        p = r.get("pose_err_deg")
+        pe = (f"{100 * p['frac_within_10deg']:.0f}% / "
+              f"{100 * p['frac_near_flip']:.0f}%" if p else "—")
+        return (f"| {desc} | {r['test_recon']:.3f} | {pe} "
                 f"| {c['mean']:.3g} / {c['max']:.3g} "
                 f"| {w['mean']:.3g} / {w['max']:.3g} |")
 
@@ -95,8 +106,20 @@ def main(argv=None):
             f"`scripts/run_degree_sweep.py`; {args.epochs} epochs, "
             f"rep_copies={args.rep_copies}, n={args.n_data}). Pins the "
             "high-degree rep path through a full model, not just the "
-            "kernel property tests."),
+            "kernel property tests. Raw recon is not comparable across "
+            "L (fixed-norm spectrum, faster decorrelation at high l); "
+            "the scale-free accuracy column is pose coverage: the "
+            "geodesic-error distribution is bimodal (either recovered "
+            "or stuck in the classic 180-degree flip local minima of "
+            "SO(3) registration — the paper's non-convex landscape), "
+            "so we report the fraction within 10 deg / fraction at a "
+            "flip (>=170 deg). Coverage collapsing with L reflects the "
+            "landscape sharpening (basins of attraction shrink as "
+            "high-l blocks decorrelate faster), with the reference's "
+            "fixed toy encoder capacity (MLP hidden 100) a possible "
+            "contributing factor at the widest inputs."),
         header=("| degree L (spectrum dim) | test recon "
+                "| pose cov. <=10 deg / flips "
                 "| circle disc. mean / max | walk disc. mean / max |"),
         descriptions={L: f"L={L} ({(L + 1) ** 2})" for L in args.degrees},
         results=results, format_row=row,
