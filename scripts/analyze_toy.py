@@ -124,7 +124,9 @@ def run_config(name, cfg, ds, train, valid, args):
     latent_mode = cfg["latent_mode"]
     rotation_latent = latent_mode in ("so3", "vmfq") or (
         latent_mode == "normal" and cfg.get("normal_dims") == 3)
-    if cfg.get("deterministic") and args.fixed_spectrum and rotation_latent:
+    # (for stochastic configs the encoding evaluated here is already the
+    # posterior mean — encode_dataset clones deterministic=True)
+    if args.fixed_spectrum and rotation_latent:
         import jax.numpy as jnp
         from lie_vae_tpu import ops
         q, _, x = valid.gather(np.arange(min(len(valid), 512)))

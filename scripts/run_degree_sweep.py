@@ -43,7 +43,15 @@ sys.path.insert(0, _HERE)
 from _results_table import merge_marker_table
 
 BEGIN, END = "<!-- degree-sweep:begin -->", "<!-- degree-sweep:end -->"
-CONFIG = "ae-action-s2s2"
+# ae = the pure pose-recovery landscape; vae = the same task with
+# sampling noise on the algebra (does the smoothing rescue coverage?)
+SERIES = ["ae-action-s2s2", "vae-action-s2s2"]
+
+
+def _label(config, L):
+    dim = (L + 1) ** 2
+    return (f"L={L} ({dim})" if config == "ae-action-s2s2"
+            else f"vae, L={L} ({dim})")
 
 
 def main(argv=None):
@@ -58,6 +66,8 @@ def main(argv=None):
     p.add_argument("--platform", default=None, choices=["cpu", "axon"],
                    help="force a jax platform (the toy models are small "
                         "enough that --platform cpu is practical)")
+    p.add_argument("--configs", nargs="*", default=SERIES[:1],
+                   choices=SERIES)
     args = p.parse_args(argv)
     os.makedirs(args.out_dir, exist_ok=True)
 
@@ -69,25 +79,28 @@ def main(argv=None):
     from lie_vae_tpu.data import ToyDataset, random_split
 
     results = {}
-    for L in args.degrees:
-        name = f"{CONFIG}-L{L}"
-        print(f"== {name} (spectrum dim {(L + 1) ** 2})")
-        ds = ToyDataset.generate(n=args.n_data, degrees=L,
-                                 rep_copies=args.rep_copies)
-        nv = args.n_data // 8
-        valid, _, train = random_split(ds, [nv, nv, args.n_data - 2 * nv])
-        run_args = argparse.Namespace(
-            degrees=L, rep_copies=args.rep_copies, fixed_spectrum=True,
-            steps_per_call=args.steps_per_call, epochs=args.epochs,
-            out_dir=args.out_dir)
-        t0 = time.perf_counter()
-        r = analyze_toy.run_config(name, analyze_toy.CONFIGS[CONFIG],
-                                   ds, train, valid, run_args)
-        r["train_s"] = round(time.perf_counter() - t0, 1)
-        results[L] = r
-        print(json.dumps(r, indent=2))
-        with open(os.path.join(args.out_dir, "results.json"), "w") as f:
-            json.dump({str(k): v for k, v in results.items()}, f, indent=2)
+    for config in args.configs:
+        for L in args.degrees:
+            name = f"{config}-L{L}"
+            print(f"== {name} (spectrum dim {(L + 1) ** 2})")
+            ds = ToyDataset.generate(n=args.n_data, degrees=L,
+                                     rep_copies=args.rep_copies)
+            nv = args.n_data // 8
+            valid, _, train = random_split(ds,
+                                           [nv, nv, args.n_data - 2 * nv])
+            run_args = argparse.Namespace(
+                degrees=L, rep_copies=args.rep_copies, fixed_spectrum=True,
+                steps_per_call=args.steps_per_call, epochs=args.epochs,
+                out_dir=args.out_dir)
+            t0 = time.perf_counter()
+            r = analyze_toy.run_config(name, analyze_toy.CONFIGS[config],
+                                       ds, train, valid, run_args)
+            r["train_s"] = round(time.perf_counter() - t0, 1)
+            results[(config, L)] = r
+            print(json.dumps(r, indent=2))
+            with open(os.path.join(args.out_dir, "results.json"), "w") as f:
+                json.dump({f"{c}-L{l}": v
+                           for (c, l), v in results.items()}, f, indent=2)
 
     def row(desc, r):
         c, w = r["discontinuity_circle"], r["discontinuity_random_walk"]
@@ -101,8 +114,10 @@ def main(argv=None):
     merge_marker_table(
         args.out, BEGIN, END,
         caption=(
-            "Deterministic s2s2 action auto-encoder with ground-truth "
-            f"fixed spectrum vs Wigner degree (driven by "
+            "s2s2 action models with ground-truth fixed spectrum vs "
+            "Wigner degree; plain rows = deterministic AE (the pure "
+            "pose-recovery landscape), vae rows = the same task with "
+            "algebra sampling noise (driven by "
             f"`scripts/run_degree_sweep.py`; {args.epochs} epochs, "
             f"rep_copies={args.rep_copies}, n={args.n_data}). Pins the "
             "high-degree rep path through a full model, not just the "
@@ -117,11 +132,15 @@ def main(argv=None):
             "landscape sharpening (basins of attraction shrink as "
             "high-l blocks decorrelate faster), with the reference's "
             "fixed toy encoder capacity (MLP hidden 100) a possible "
-            "contributing factor at the widest inputs."),
+            "contributing factor at the widest inputs. The vae rows "
+            "confirm the landscape reading: algebra sampling noise "
+            "multiplies mid-degree coverage (L=4/6/8: 30/19/12 percent "
+            "vs the AE's 12/2/3) before both collapse at L=10."),
         header=("| degree L (spectrum dim) | test recon "
                 "| pose cov. <=10 deg / flips "
                 "| circle disc. mean / max | walk disc. mean / max |"),
-        descriptions={L: f"L={L} ({(L + 1) ** 2})" for L in args.degrees},
+        descriptions={(c, L): _label(c, L)
+                      for c in SERIES for L in args.degrees},
         results=results, format_row=row,
         section_title="Degree scaling (toy pose recovery)")
     print(f"merged degree-sweep table into {args.out}")
