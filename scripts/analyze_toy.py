@@ -188,7 +188,12 @@ def main(argv=None):
     p.add_argument("--configs", nargs="*", default=DEFAULT_CONFIGS,
                    help="config names, or 'all' for the paper's full "
                         "{ae,vae} x {action,mlp} x latent matrix")
+    p.add_argument("--platform", default=None, choices=["cpu", "axon"],
+                   help="force a jax platform (the toy models are small "
+                        "enough that --platform cpu is practical)")
     args = p.parse_args(argv)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     if args.configs == ["all"]:
         args.configs = list(CONFIGS)
 
@@ -217,17 +222,25 @@ def main(argv=None):
         f"rep_copies={args.rep_copies}, n={args.n_data}, "
         f"fixed_spectrum={args.fixed_spectrum}. Discontinuity = per-step "
         "squared encoding jumps along SO(3) trajectories "
-        "(toy_results.ipynb cells 3+14); outliers = jumps >10x median.",
+        "(toy_results.ipynb cells 3+14); outliers = jumps >10x median. "
+        "Pose coverage (rotation-interpretable latents under a fixed "
+        "ground-truth spectrum, where the pose is identifiable) = "
+        "fraction of validation poses recovered within 10 deg / fraction "
+        "stuck at the 180-deg flip local minima of SO(3) registration.",
         "",
-        "| config | test recon | circle: mean / max / outliers "
+        "| config | test recon | pose cov. <=10 deg / flips "
+        "| circle: mean / max / outliers "
         "| walk: mean / max / outliers |",
-        "|---|---|---|---|",
+        "|---|---|---|---|---|",
     ]
     for name, r in all_results.items():
         c = r["discontinuity_circle"]
         w = r["discontinuity_random_walk"]
+        p = r.get("pose_err_deg")
+        pe = (f"{100 * p['frac_within_10deg']:.0f}% / "
+              f"{100 * p['frac_near_flip']:.0f}%" if p else "—")
         lines.append(
-            f"| {name} | {r['test_recon']:.3f} "
+            f"| {name} | {r['test_recon']:.3f} | {pe} "
             f"| {c['mean']:.3g} / {c['max']:.3g} / {c['num_outliers']} "
             f"| {w['mean']:.3g} / {w['max']:.3g} / {w['num_outliers']} |")
     md = os.path.join(args.out_dir, "TOY_RESULTS.md")
