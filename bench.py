@@ -58,13 +58,51 @@ def _real_batch(data_dir, batch):
     return np.asarray(imgs, np.float32) / 255.0
 
 
+def _wait_for_tunnel(budget_s):
+    """The tunneled TPU runtime can be down for hours at a stretch, and a
+    jax device init would hang with NO timeout. Probe with short-lived
+    subprocesses (the probe runs a real device op) and wait out bounded
+    outages so the benchmark still lands when the tunnel flaps; give up
+    loudly instead of hanging when the budget is exhausted."""
+    import subprocess
+    deadline = time.time() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices(); import jax.numpy as j; "
+                 "print(float(j.ones(2).sum()))"],
+                timeout=90, capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            return False
+        print(f"tunnel probe {attempt} failed; retrying "
+              f"({deadline - time.time():.0f}s of budget left)",
+              file=sys.stderr)
+        time.sleep(60)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--data_dir", default="data/spherecube")
     ap.add_argument("--synthetic", action="store_true",
                     help="train on uniform noise instead of renders")
     ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--wait_tunnel", type=float, default=1800,
+                    help="seconds to wait for the TPU tunnel before "
+                         "giving up (0 = no probe, init directly)")
     args = ap.parse_args(argv)
+
+    if args.wait_tunnel and not _wait_for_tunnel(args.wait_tunnel):
+        print(f"TPU tunnel unreachable after {args.wait_tunnel:.0f}s of "
+              "probes — not starting the benchmark (it would hang at "
+              "device init)", file=sys.stderr)
+        return 2
 
     import jax
     import jax.numpy as jnp
@@ -139,4 +177,4 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

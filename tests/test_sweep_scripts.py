@@ -118,6 +118,7 @@ def test_r2_driver_scripts_import_and_parse():
         ("scripts.bench_sol", False),
         ("scripts.bench_reference_torch", True),
         ("scripts.run_degree_sweep", True),
+        ("bench", True),
     ]:
         m = importlib.import_module(mod)
         assert hasattr(m, "main")
