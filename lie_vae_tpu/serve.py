@@ -1,0 +1,303 @@
+"""Serving / inference surface: load a trained checkpoint and run
+fixed-shape, pre-compiled encode / decode / reconstruct on device.
+
+The reference has no serving story — its post-training inference is
+notebook code that rebuilds the training module and calls it eagerly per
+item (toy_results.ipynb cells 3-14) plus a batch-size-1 eval loop for the
+final LL (lie_vae/experiments/main.py:134-143). Here inference is a
+first-class production path, designed TPU-first:
+
+- every callable is jit-compiled once at a fixed batch shape and reused
+  (no per-shape retraces; arbitrary request sizes are padded to the
+  compiled batch and sliced back on host);
+- params / batch_stats are passed as jit ARGUMENTS, never closed over
+  (closing over large constants is both a retrace hazard and, on this
+  image's tunneled runtime, a known wrong-output compile path — see
+  CLAUDE.md);
+- ``warmup()`` pre-compiles the full surface so the first real request
+  pays dispatch latency only;
+- ``export_npz`` / ``load_npz`` turn an orbax training checkpoint into a
+  single self-contained deployment artifact (no orbax dependency at
+  serving time).
+
+Typical use::
+
+    model = LieVAE(latent_mode="so3", mean_mode="alg", ...)
+    sess = InferenceSession.from_checkpoint("outputs/run/checkpoint", model)
+    sess.warmup()
+    poses = sess.encode(images)["pose"]          # (N, 3, 3) rotations
+    frames = sess.geodesic(poses[0], poses[1], steps=30)  # latent traversal
+"""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lie_vae_tpu import ops
+
+_SEP = "/"
+
+
+# --------------------------------------------------------------- checkpoints
+
+def load_checkpoint_arrays(path):
+    """Restore a training checkpoint WITHOUT a template TrainState.
+
+    Returns ``(params, batch_stats, step)`` as plain nested dicts /
+    numpy-backed arrays. The optimizer state (whose tree structure depends
+    on the training flags: clip / selective clip / weight decay) is left
+    untouched on disk — serving never needs it.
+    """
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    try:
+        restored = ckptr.restore(path)
+    finally:
+        ckptr.close()
+    return (restored["params"], restored.get("batch_stats") or {},
+            int(np.asarray(restored.get("step", 0))))
+
+
+def _flatten(tree, prefix):
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = _SEP.join(
+            str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        flat[prefix + _SEP + key if key else prefix] = np.asarray(leaf)
+    return flat
+
+
+def _unflatten(flat, prefix):
+    tree = {}
+    for key, value in flat.items():
+        if not key.startswith(prefix + _SEP):
+            continue
+        node = tree
+        parts = key[len(prefix) + 1:].split(_SEP)
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = jnp.asarray(value)
+    return tree
+
+
+def export_npz(checkpoint_path, out_path):
+    """Flatten an orbax checkpoint's params + batch_stats into one .npz
+    deployment artifact (path-encoded keys; loadable without orbax)."""
+    params, batch_stats, step = load_checkpoint_arrays(checkpoint_path)
+    flat = _flatten(params, "params")
+    flat.update(_flatten(batch_stats, "batch_stats"))
+    flat["__step__"] = np.asarray(step)
+    np.savez(out_path, **flat)
+    return out_path
+
+
+def load_npz(path):
+    """Inverse of :func:`export_npz`: returns (params, batch_stats, step)."""
+    with np.load(path) as z:
+        flat = {k: z[k] for k in z.files}
+    step = int(flat.pop("__step__", 0))
+    return _unflatten(flat, "params"), _unflatten(flat, "batch_stats"), step
+
+
+# ----------------------------------------------------------------- session
+
+class InferenceSession:
+    """Fixed-shape, pre-compiled inference over a trained :class:`LieVAE`.
+
+    All public methods take/return numpy arrays of arbitrary leading size
+    N; work is dispatched in compiled chunks of ``batch_size`` (requests
+    are padded by repeating the last row and sliced back). The latent
+    "pose" representation matches the model's latent_mode: (3, 3) rotation
+    matrices for 'so3', a ``normal_dims`` vector for 'normal', and a unit
+    quaternion for 'vmf'/'vmfq' — exactly what :meth:`LieVAE.decode`
+    consumes (vae.py:173-197 routing).
+    """
+
+    def __init__(self, model, params, batch_stats=None, batch_size=64,
+                 seed=0):
+        self.model = model
+        self.params = params
+        self.batch_stats = batch_stats or {}
+        self.batch_size = int(batch_size)
+        self._key = jax.random.PRNGKey(seed)
+        self._has_bn = bool(jax.tree_util.tree_leaves(self.batch_stats))
+
+        model_ref = model  # locals close over config only, never params
+
+        def variables(params, batch_stats):
+            v = {"params": params}
+            if self._has_bn:
+                v["batch_stats"] = batch_stats
+            return v
+
+        def encode_fn(params, batch_stats, x, key):
+            stats = model_ref.apply(
+                variables(params, batch_stats), x, n=1, train=False,
+                method=model_ref.encode, rngs={"sample": key})
+            s = stats[0]
+            mean = getattr(s, "mu_lie", None)
+            if mean is None:
+                mean = s.mu
+            if hasattr(s, "inner"):          # SO3: algebra-noise scale
+                spread = s.inner.sigma
+            elif hasattr(s, "kappa"):        # vMF: concentration
+                spread = s.kappa
+            else:                            # Gaussian: std-dev
+                spread = s.sigma
+            return mean, spread, s.z[0]
+
+        def decode_fn(params, batch_stats, z):
+            out = model_ref.apply(variables(params, batch_stats), z[None],
+                                  method=model_ref.decode)
+            return out[0]
+
+        def recon_fn(params, batch_stats, x, key):
+            mean, _, _ = encode_fn(params, batch_stats, x, key)
+            return decode_fn(params, batch_stats, mean)
+
+        self._encode_jit = jax.jit(encode_fn)
+        self._decode_jit = jax.jit(decode_fn)
+        self._recon_jit = jax.jit(recon_fn)
+
+    # ------------------------------------------------------------ plumbing
+
+    @classmethod
+    def from_checkpoint(cls, path, model, batch_size=64, seed=0):
+        """Build a session from an orbax training checkpoint directory."""
+        params, batch_stats, _ = load_checkpoint_arrays(path)
+        return cls(model, params, batch_stats, batch_size=batch_size,
+                   seed=seed)
+
+    @classmethod
+    def from_npz(cls, path, model, batch_size=64, seed=0):
+        """Build a session from an :func:`export_npz` deployment artifact."""
+        params, batch_stats, _ = load_npz(path)
+        return cls(model, params, batch_stats, batch_size=batch_size,
+                   seed=seed)
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    @staticmethod
+    def _normalize(x):
+        x = np.asarray(x)
+        if x.dtype == np.uint8:
+            x = x.astype(np.float32) / 255.0
+        return x.astype(np.float32, copy=False)
+
+    def _chunked(self, x, fn):
+        """Pad N rows to full ``batch_size`` chunks, run the compiled fn
+        per chunk, concat and slice back to N rows (single compiled shape
+        regardless of request size)."""
+        n = x.shape[0]
+        b = self.batch_size
+        outs = []
+        for lo in range(0, n, b):
+            chunk = x[lo:lo + b]
+            if chunk.shape[0] < b:
+                pad = np.repeat(chunk[-1:], b - chunk.shape[0], axis=0)
+                chunk = np.concatenate([chunk, pad], axis=0)
+            outs.append(fn(jnp.asarray(chunk)))
+        outs = [jax.tree_util.tree_map(np.asarray, o) for o in outs]
+        return jax.tree_util.tree_map(
+            lambda *xs: np.concatenate(xs, axis=0)[:n], *outs)
+
+    # ------------------------------------------------------------- surface
+
+    def encode(self, images):
+        """Posterior pose estimates for N images.
+
+        Returns ``{"pose": (N, ...) latent means, "sigma": (N, ...) noise
+        scales, "sample": (N, ...) one posterior sample}``.
+        """
+        x = self._normalize(images)
+        key = self._next_key()
+        out = self._chunked(
+            x, lambda c: self._encode_jit(self.params, self.batch_stats,
+                                          c, key))
+        return {"pose": out[0], "sigma": out[1], "sample": out[2]}
+
+    def decode(self, poses):
+        """Decode N latent poses to images (or toy spectra)."""
+        z = np.asarray(poses, np.float32)
+        return self._chunked(
+            z, lambda c: self._decode_jit(self.params, self.batch_stats, c))
+
+    def reconstruct(self, images):
+        """encode-mean -> decode round trip, the AE serving path."""
+        x = self._normalize(images)
+        key = self._next_key()
+        return self._chunked(
+            x, lambda c: self._recon_jit(self.params, self.batch_stats,
+                                         c, key))
+
+    def sample(self, n, seed=None):
+        """Decode n Haar-random prior poses — generative sampling.
+
+        Only meaningful for group latents (the prior over SO(3) is the
+        Haar measure the KL regularizes toward, reparameterize.py:265-267).
+        """
+        key = (jax.random.PRNGKey(seed) if seed is not None
+               else self._next_key())
+        mode = self.model.latent_mode
+        if mode == "so3":
+            z = ops.random_group_matrices(key, n)
+        elif mode in ("vmf", "vmfq"):
+            z = ops.random_quaternions(key, n)
+        elif mode == "normal":
+            z = jax.random.normal(key, (n, self.model.normal_dims))
+        else:
+            raise ValueError(f"Unknown latent mode {mode!r}")
+        return self.decode(np.asarray(z))
+
+    def geodesic(self, pose_a, pose_b, steps=16, decode=True):
+        """Latent traversal along the geodesic from pose_a to pose_b.
+
+        For SO(3): r(t) = a @ exp(t * log(a^T b)), the bi-invariant
+        geodesic (the paper's latent-interpolation figure; notebook cell 3
+        'circle' trajectories are the special case a^T b = z-rotation).
+        For vector/quaternion latents: linear / slerp interpolation.
+        Returns decoded frames (steps, *out_shape), or the poses
+        themselves when ``decode=False``.
+        """
+        t = np.linspace(0.0, 1.0, steps, dtype=np.float32)
+        mode = self.model.latent_mode
+        if mode == "so3":
+            a = jnp.asarray(pose_a, jnp.float32)
+            b = jnp.asarray(pose_b, jnp.float32)
+            v = ops.vee(ops.logmap(a.T @ b))
+            poses = jax.vmap(lambda s: a @ ops.expmap(s * v))(jnp.asarray(t))
+        elif mode in ("vmf", "vmfq"):
+            qa = np.asarray(pose_a, np.float32)
+            qb = np.asarray(pose_b, np.float32)
+            qa = qa / np.linalg.norm(qa)
+            qb = qb / np.linalg.norm(qb)
+            if np.dot(qa, qb) < 0:    # shorter arc on the double cover
+                qb = -qb
+            dot = np.clip(np.dot(qa, qb), -1.0, 1.0)
+            omega = np.arccos(dot)
+            if omega < 1e-6:
+                poses = np.repeat(qa[None], steps, axis=0)
+            else:
+                poses = (np.sin((1 - t)[:, None] * omega) * qa[None]
+                         + np.sin(t[:, None] * omega) * qb[None]) \
+                    / np.sin(omega)
+        else:
+            za = np.asarray(pose_a, np.float32)
+            zb = np.asarray(pose_b, np.float32)
+            poses = (1 - t)[:, None] * za[None] + t[:, None] * zb[None]
+        poses = np.asarray(poses)
+        return self.decode(poses) if decode else poses
+
+    def warmup(self):
+        """Compile the full serving surface at the fixed batch shape."""
+        b = self.batch_size
+        x = np.zeros((b,) + tuple(self.model.out_shape), np.float32)
+        out = self.encode(x)
+        self.decode(out["pose"])
+        self.reconstruct(x)
+        return self

@@ -1,0 +1,184 @@
+"""Serving surface tests: fixed-shape padded dispatch, checkpoint /
+deployment-artifact loading, geodesic traversal, prior sampling.
+
+The reference has no serving path (inference is notebook code,
+toy_results.ipynb); these tests pin the InferenceSession surface built on
+top of the trained-model contract instead.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lie_vae_tpu import ops
+from lie_vae_tpu.models import LieVAE
+from lie_vae_tpu.serve import (
+    InferenceSession, export_npz, load_npz, load_checkpoint_arrays)
+
+
+def _toy_model(**over):
+    cfg = dict(latent_mode="so3", decoder_mode="action", mean_mode="alg",
+               encode_mode="toy", deconv_mode="toy", degrees=3, rep_copies=2)
+    cfg.update(over)
+    return LieVAE(**cfg)
+
+
+def _init(model, x):
+    rngs = {"params": jax.random.PRNGKey(0),
+            "sample": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, x, n=1, train=True)
+    return variables["params"], variables.get("batch_stats", {})
+
+
+def _toy_batch(model, n, seed=2):
+    return np.asarray(jax.random.normal(
+        jax.random.PRNGKey(seed), (n,) + tuple(model.out_shape)), np.float32)
+
+
+def _session(n_init=4, batch_size=8, **over):
+    model = _toy_model(**over)
+    x = _toy_batch(model, n_init)
+    params, bn = _init(model, x)
+    return model, InferenceSession(model, params, bn, batch_size=batch_size)
+
+
+def test_encode_decode_shapes_and_padding():
+    model, sess = _session(batch_size=8)
+    x = _toy_batch(model, 13)                 # 13 rows -> 2 padded chunks
+    out = sess.encode(x)
+    assert out["pose"].shape == (13, 3, 3)
+    assert out["sigma"].shape == (13, 3)
+    assert out["sample"].shape == (13, 3, 3)
+    imgs = sess.decode(out["pose"])
+    assert imgs.shape == (13,) + tuple(model.out_shape)
+    assert np.isfinite(imgs).all()
+
+
+def test_padding_is_invisible():
+    """Per-item results must not depend on the compiled batch width."""
+    model = _toy_model()
+    x = _toy_batch(model, 13)
+    params, bn = _init(model, _toy_batch(model, 4))
+    a = InferenceSession(model, params, bn, batch_size=8).encode(x)
+    b = InferenceSession(model, params, bn, batch_size=16).encode(x)
+    np.testing.assert_allclose(a["pose"], b["pose"], atol=1e-6)
+    np.testing.assert_allclose(a["sigma"], b["sigma"], atol=1e-6)
+
+
+def test_reconstruct_matches_encode_then_decode():
+    model, sess = _session()
+    x = _toy_batch(model, 8)
+    recon = sess.reconstruct(x)
+    via_two = sess.decode(sess.encode(x)["pose"])
+    np.testing.assert_allclose(recon, via_two, atol=1e-5)
+
+
+def test_encode_pose_is_valid_rotation():
+    model, sess = _session()
+    poses = sess.encode(_toy_batch(model, 8))["pose"]
+    eye = np.broadcast_to(np.eye(3), poses.shape)
+    np.testing.assert_allclose(poses @ np.swapaxes(poses, -1, -2), eye,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.linalg.det(poses), 1.0, atol=1e-5)
+
+
+def test_geodesic_endpoints_and_frames():
+    model, sess = _session()
+    poses = sess.encode(_toy_batch(model, 2))["pose"]
+    path = sess.geodesic(poses[0], poses[1], steps=5, decode=False)
+    assert path.shape == (5, 3, 3)
+    np.testing.assert_allclose(path[0], poses[0], atol=1e-5)
+    np.testing.assert_allclose(path[-1], poses[1], atol=1e-4)
+    # every frame stays on the group
+    eye = np.broadcast_to(np.eye(3), path.shape)
+    np.testing.assert_allclose(path @ np.swapaxes(path, -1, -2), eye,
+                               atol=1e-5)
+    frames = sess.geodesic(poses[0], poses[1], steps=5)
+    assert frames.shape == (5,) + tuple(model.out_shape)
+
+
+def test_sample_prior_so3():
+    model, sess = _session()
+    out = sess.sample(6, seed=0)
+    assert out.shape == (6,) + tuple(model.out_shape)
+    assert np.isfinite(out).all()
+    # seeded -> reproducible
+    np.testing.assert_allclose(out, sess.sample(6, seed=0))
+
+
+@pytest.mark.parametrize("mode,decoder,pose_shape", [
+    ("normal", "mlp", (3,)),
+    ("vmfq", "action", (4,)),
+])
+def test_other_latent_modes(mode, decoder, pose_shape):
+    model, sess = _session(latent_mode=mode, decoder_mode=decoder,
+                           mean_mode="alg")
+    x = _toy_batch(model, 5)
+    out = sess.encode(x)
+    assert out["pose"].shape == (5,) + pose_shape
+    assert sess.decode(out["pose"]).shape == (5,) + tuple(model.out_shape)
+    path = sess.geodesic(out["pose"][0], out["pose"][1], steps=4,
+                         decode=False)
+    assert path.shape == (4,) + pose_shape
+    np.testing.assert_allclose(path[0], out["pose"][0], atol=1e-6)
+    np.testing.assert_allclose(path[-1], out["pose"][1], atol=1e-5)
+    if mode == "vmfq":   # slerp stays on the sphere
+        np.testing.assert_allclose(np.linalg.norm(path, axis=-1), 1.0,
+                                   atol=1e-5)
+
+
+def test_uint8_inputs_are_normalized():
+    model, sess = _session()
+    x = _toy_batch(model, 4)
+    x01 = (x - x.min()) / (x.max() - x.min())
+    as_u8 = np.round(x01 * 255).astype(np.uint8)
+    a = sess.encode(as_u8)["pose"]
+    b = sess.encode(as_u8.astype(np.float32) / 255.0)["pose"]
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_checkpoint_and_npz_round_trip(tmp_path):
+    from lie_vae_tpu.train.state import TrainState, make_optimizer
+    from lie_vae_tpu.train.checkpoint import save_state
+
+    model = _toy_model()
+    x = _toy_batch(model, 4)
+    params, bn = _init(model, x)
+    state = TrainState.create(params, bn, make_optimizer())
+    ckpt = str(tmp_path / "checkpoint")
+    save_state(ckpt, state)
+
+    # orbax restore without a template (serving never needs opt_state)
+    r_params, r_bn, step = load_checkpoint_arrays(ckpt)
+    assert step == 0
+    ref = InferenceSession(model, params, bn).encode(x)["pose"]
+    got = InferenceSession.from_checkpoint(ckpt, model).encode(x)["pose"]
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+    # deployment artifact: orbax -> single npz -> same outputs
+    npz = str(tmp_path / "model.npz")
+    export_npz(ckpt, npz)
+    got2 = InferenceSession.from_npz(npz, model).encode(x)["pose"]
+    np.testing.assert_allclose(got2, ref, atol=1e-6)
+
+    # the flatten/unflatten is a faithful tree round trip
+    p2, _, _ = load_npz(npz)
+    ref_leaves = jax.tree_util.tree_leaves_with_path(params)
+    got_leaves = jax.tree_util.tree_leaves_with_path(p2)
+    assert len(ref_leaves) == len(got_leaves)
+    for (pa, la), (pb, lb) in zip(sorted(ref_leaves, key=lambda t: str(t[0])),
+                                  sorted(got_leaves, key=lambda t: str(t[0]))):
+        assert str(pa) == str(pb)
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_warmup_compiles_conv_model():
+    model = LieVAE(latent_mode="so3", decoder_mode="action", mean_mode="alg",
+                   encode_mode="conv", deconv_mode="deconv", rgb=False,
+                   degrees=2, deconv_hidden=8, conv_hidden=8, rep_copies=2)
+    x = np.zeros((2, 64, 64, 1), np.float32)
+    params, bn = _init(model, jnp.asarray(x))
+    sess = InferenceSession(model, params, bn, batch_size=2).warmup()
+    out = sess.encode(np.random.default_rng(0)
+                      .random((3, 64, 64, 1)).astype(np.float32))
+    assert out["pose"].shape == (3, 3, 3)
