@@ -1,0 +1,234 @@
+"""Serving CLI: ``python -m lie_vae_tpu.cli.serve <command> ...``.
+
+Deployment/inference entry point over :mod:`lie_vae_tpu.serve`. The
+reference has no serving CLI at all — post-training use is notebook code
+(toy_results.ipynb) and a batch-size-1 LL loop (lie_vae/experiments/
+main.py:134-143); this is a new TPU-first surface.
+
+Commands (all take the training run's model flags after the command's own
+options, exactly as passed to ``cli.main`` — the model must be rebuilt
+with the same architecture the checkpoint was trained with):
+
+  export      orbax checkpoint -> single .npz deployment artifact
+  sample      decode n Haar-random prior poses -> .npz (and .png grid)
+  trajectory  decode a latent geodesic between two encoded/random poses
+  bench       serving latency/throughput on the current backend (JSON)
+
+Examples::
+
+  python -m lie_vae_tpu.cli.serve export --name flagship-32k-h400-e100
+  python -m lie_vae_tpu.cli.serve sample --artifact outputs/flagship-32k-h400-e100/artifact.npz \
+      -n 16 --dataset spherecube --conv_hidden 100 --deconv_hidden 400
+  python -m lie_vae_tpu.cli.serve bench --artifact ... --batch_size 64 \
+      --dataset spherecube --conv_hidden 100 --deconv_hidden 400
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _build_model(args):
+    """Rebuild the LieVAE from training flags WITHOUT loading a dataset.
+
+    cli.build_model needs a dataset only for ``rgb`` and the toy/conv
+    encode-mode switch (cli/main.py:63-88); both are functions of
+    --dataset alone (spherecube and sc-pairs are rgb image datasets,
+    datasets.py:87-92 in the reference).
+    """
+    from lie_vae_tpu.models import LieVAE
+
+    is_toy = args.dataset == "toy"
+    return LieVAE(
+        latent_mode=args.latent_mode,
+        mean_mode=args.mean_mode,
+        decoder_mode=args.decoder_mode,
+        encode_mode=("toy" if is_toy else "conv"),
+        deconv_mode=("toy" if is_toy else args.deconv_mode),
+        rep_copies=args.rep_copies,
+        degrees=args.degrees,
+        deconv_hidden=args.deconv_hidden,
+        conv_hidden=args.conv_hidden,
+        batch_norm=bool(args.batch_norm),
+        rgb=not is_toy,
+        normal_dims=args.normal_dims,
+        deterministic=args.deterministic,
+        wigner_transpose=args.wigner_transpose,
+        mlp_layers=args.mlp_layers,
+        mlp_hidden=args.mlp_hidden,
+        mlp_activation=args.mlp_activation,
+        fixed_sigma=args.fixed_sigma,
+        compute_dtype=args.compute_dtype,
+        kernel_impl=args.kernel_impl,
+        density_k=args.density_k,
+    )
+
+
+def _session(opts, rest):
+    """Build an InferenceSession from --artifact/--checkpoint + model flags."""
+    from lie_vae_tpu.cli import main as cli
+    from lie_vae_tpu.serve import InferenceSession
+
+    args = cli.parse_args(rest)
+    model = _build_model(args)
+    if opts.artifact:
+        return InferenceSession.from_npz(
+            opts.artifact, model, batch_size=opts.batch_size, seed=opts.seed)
+    path = opts.checkpoint or (args.name and
+                               os.path.join("outputs", args.name,
+                                            "checkpoint"))
+    if not path:
+        raise SystemExit("pass --artifact, --checkpoint, or --name")
+    return InferenceSession.from_checkpoint(
+        path, model, batch_size=opts.batch_size, seed=opts.seed)
+
+
+def _add_session_flags(p):
+    p.add_argument("--artifact", help=".npz deployment artifact (export)")
+    p.add_argument("--checkpoint", help="orbax checkpoint directory")
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", help="output .npz path")
+
+
+def _save_png_grid(images, path):
+    """Best-effort PNG contact sheet next to the .npz (images NHWC/NHW)."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    imgs = np.asarray(images)
+    # images are NHWC everywhere in this repo; toy spectra are (N, dims,
+    # copies) with no channel axis — skip those rather than render noise
+    if imgs.ndim != 4:
+        return None
+    n, h, w, c = imgs.shape
+    cols = int(np.ceil(np.sqrt(n)))
+    rows = int(np.ceil(n / cols))
+    grid = np.zeros((rows * h, cols * w, c), np.float32)
+    for i in range(n):
+        r, col = divmod(i, cols)
+        grid[r * h:(r + 1) * h, col * w:(col + 1) * w] = imgs[i]
+    grid = np.clip(grid * 255.0, 0, 255).astype(np.uint8)
+    if c == 1:
+        grid = grid[..., 0]
+    Image.fromarray(grid).save(path)
+    return path
+
+
+def cmd_export(argv):
+    from lie_vae_tpu.serve import export_npz
+
+    p = argparse.ArgumentParser("serve export")
+    p.add_argument("--name", help="run name under outputs/")
+    p.add_argument("--checkpoint", help="explicit orbax checkpoint dir")
+    p.add_argument("--out", help="output .npz (default <run>/artifact.npz)")
+    opts = p.parse_args(argv)
+    ckpt = opts.checkpoint or (opts.name and
+                               os.path.join("outputs", opts.name,
+                                            "checkpoint"))
+    if not ckpt:
+        raise SystemExit("pass --name or --checkpoint")
+    out = opts.out or os.path.join(os.path.dirname(ckpt.rstrip("/")),
+                                   "artifact.npz")
+    export_npz(ckpt, out)
+    size = os.path.getsize(out)
+    print(f"wrote {out} ({size / 1e6:.1f} MB)")
+    return out
+
+
+def cmd_sample(argv):
+    p = argparse.ArgumentParser("serve sample")
+    _add_session_flags(p)
+    p.add_argument("-n", type=int, default=16, help="number of samples")
+    opts, rest = p.parse_known_args(argv)
+    sess = _session(opts, rest)
+    imgs = sess.sample(opts.n, seed=opts.seed)
+    out = opts.out or "samples.npz"
+    np.savez(out, images=imgs)
+    png = _save_png_grid(imgs, os.path.splitext(out)[0] + ".png")
+    print(f"wrote {out}" + (f" and {png}" if png else ""))
+    return out
+
+
+def cmd_trajectory(argv):
+    p = argparse.ArgumentParser("serve trajectory")
+    _add_session_flags(p)
+    p.add_argument("--steps", type=int, default=30)
+    p.add_argument("--images", nargs=2, metavar="PNG",
+                   help="two image files to encode as the endpoints "
+                        "(default: two random prior poses)")
+    opts, rest = p.parse_known_args(argv)
+    sess = _session(opts, rest)
+    if opts.images:
+        from PIL import Image
+        x = np.stack([np.asarray(Image.open(f), np.float32) / 255.0
+                      for f in opts.images])
+        poses = sess.encode(x)["pose"]
+        a, b = poses[0], poses[1]
+    else:
+        import jax
+        from lie_vae_tpu import ops
+        mode = sess.model.latent_mode
+        key = jax.random.PRNGKey(opts.seed)
+        if mode == "so3":
+            a, b = np.asarray(ops.random_group_matrices(key, 2))
+        elif mode in ("vmf", "vmfq"):
+            a, b = np.asarray(ops.random_quaternions(key, 2))
+        else:
+            a, b = np.asarray(jax.random.normal(
+                key, (2, sess.model.normal_dims)))
+    frames = sess.geodesic(a, b, steps=opts.steps)
+    out = opts.out or "trajectory.npz"
+    np.savez(out, frames=frames, pose_a=a, pose_b=b)
+    png = _save_png_grid(frames, os.path.splitext(out)[0] + ".png")
+    print(f"wrote {out}" + (f" and {png}" if png else ""))
+    return out
+
+
+def cmd_bench(argv):
+    p = argparse.ArgumentParser("serve bench")
+    _add_session_flags(p)
+    p.add_argument("--iters", type=int, default=30)
+    opts, rest = p.parse_known_args(argv)
+    sess = _session(opts, rest)
+    b = sess.batch_size
+    x = np.random.default_rng(0).random(
+        (b,) + tuple(sess.model.out_shape), np.float32)
+    sess.warmup()
+    result = {"batch_size": b, "iters": opts.iters}
+    for name, fn in [("encode", lambda: sess.encode(x)),
+                     ("reconstruct", lambda: sess.reconstruct(x))]:
+        fn()                                     # one extra settle pass
+        # outputs are host numpy (serve._chunked np.asarray's every chunk)
+        # so wall-clock here includes the full device round trip — no
+        # block_until_ready needed (which the axon tunnel ignores anyway,
+        # CLAUDE.md).
+        t0 = time.perf_counter()
+        for _ in range(opts.iters):
+            fn()
+        dt = (time.perf_counter() - t0) / opts.iters
+        result[name] = {"ms_per_batch": round(dt * 1e3, 3),
+                        "items_per_s": round(b / dt, 1)}
+    print(json.dumps(result))
+    return result
+
+
+COMMANDS = {"export": cmd_export, "sample": cmd_sample,
+            "trajectory": cmd_trajectory, "bench": cmd_bench}
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] not in COMMANDS:
+        raise SystemExit(
+            f"usage: python -m lie_vae_tpu.cli.serve "
+            f"{{{','.join(COMMANDS)}}} ...")
+    return COMMANDS[argv[0]](argv[1:])
+
+
+if __name__ == "__main__":
+    main()

@@ -182,3 +182,71 @@ def test_warmup_compiles_conv_model():
     out = sess.encode(np.random.default_rng(0)
                       .random((3, 64, 64, 1)).astype(np.float32))
     assert out["pose"].shape == (3, 3, 3)
+
+
+# ------------------------------------------------------------- serving CLI
+
+MODEL_FLAGS = ["--dataset", "toy", "--degrees", "3", "--rep_copies", "2",
+               "--mean_mode", "alg", "--latent_mode", "so3",
+               "--decoder_mode", "action"]
+
+
+def _cli_checkpoint(tmp_path):
+    """Save a checkpoint for the exact model the CLI flags rebuild."""
+    from lie_vae_tpu.cli import main as cli
+    from lie_vae_tpu.cli import serve as serve_cli
+    from lie_vae_tpu.train.state import TrainState, make_optimizer
+    from lie_vae_tpu.train.checkpoint import save_state
+
+    model = serve_cli._build_model(cli.parse_args(MODEL_FLAGS))
+    x = _toy_batch(model, 4)
+    params, bn = _init(model, x)
+    state = TrainState.create(params, bn, make_optimizer())
+    ckpt = str(tmp_path / "checkpoint")
+    save_state(ckpt, state)
+    return model, params, bn, ckpt
+
+
+def test_cli_export_sample_trajectory_bench(tmp_path, capsys):
+    from lie_vae_tpu.cli import serve as serve_cli
+
+    model, params, bn, ckpt = _cli_checkpoint(tmp_path)
+    art = str(tmp_path / "artifact.npz")
+    serve_cli.main(["export", "--checkpoint", ckpt, "--out", art])
+    assert np.load(art)["__step__"] == 0
+
+    out_s = str(tmp_path / "samples.npz")
+    serve_cli.main(["sample", "--artifact", art, "-n", "3",
+                    "--batch_size", "4", "--out", out_s] + MODEL_FLAGS)
+    imgs = np.load(out_s)["images"]
+    assert imgs.shape == (3,) + tuple(model.out_shape)
+    assert np.isfinite(imgs).all()
+
+    out_t = str(tmp_path / "traj.npz")
+    serve_cli.main(["trajectory", "--artifact", art, "--steps", "4",
+                    "--batch_size", "4", "--out", out_t] + MODEL_FLAGS)
+    with np.load(out_t) as z:
+        assert z["frames"].shape == (4,) + tuple(model.out_shape)
+        assert z["pose_a"].shape == (3, 3)
+
+    capsys.readouterr()
+    result = serve_cli.main(["bench", "--artifact", art, "--batch_size", "4",
+                             "--iters", "2"] + MODEL_FLAGS)
+    assert result["encode"]["items_per_s"] > 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    import json
+    assert json.loads(line)["batch_size"] == 4
+
+
+def test_cli_checkpoint_matches_artifact(tmp_path):
+    """from --checkpoint and from the exported artifact agree."""
+    from lie_vae_tpu.cli import serve as serve_cli
+    from lie_vae_tpu.serve import InferenceSession as S
+
+    model, params, bn, ckpt = _cli_checkpoint(tmp_path)
+    art = str(tmp_path / "artifact.npz")
+    serve_cli.main(["export", "--checkpoint", ckpt, "--out", art])
+    x = _toy_batch(model, 5)
+    a = S.from_checkpoint(ckpt, model, batch_size=4).encode(x)["pose"]
+    b = S.from_npz(art, model, batch_size=4).encode(x)["pose"]
+    np.testing.assert_allclose(a, b, atol=1e-6)
