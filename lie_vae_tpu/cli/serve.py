@@ -74,16 +74,21 @@ def _session(opts, rest):
 
     args = cli.parse_args(rest)
     model = _build_model(args)
+    mesh = None
+    if opts.data_devices:
+        from lie_vae_tpu.parallel import make_mesh
+        mesh = make_mesh(n_data=opts.data_devices)
     if opts.artifact:
         return InferenceSession.from_npz(
-            opts.artifact, model, batch_size=opts.batch_size, seed=opts.seed)
+            opts.artifact, model, batch_size=opts.batch_size, seed=opts.seed,
+            mesh=mesh)
     path = opts.checkpoint or (args.name and
                                os.path.join("outputs", args.name,
                                             "checkpoint"))
     if not path:
         raise SystemExit("pass --artifact, --checkpoint, or --name")
     return InferenceSession.from_checkpoint(
-        path, model, batch_size=opts.batch_size, seed=opts.seed)
+        path, model, batch_size=opts.batch_size, seed=opts.seed, mesh=mesh)
 
 
 def _add_session_flags(p):
@@ -92,6 +97,9 @@ def _add_session_flags(p):
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", help="output .npz path")
+    p.add_argument("--data_devices", type=int, default=0,
+                   help="shard each compiled batch over this many devices "
+                        "('data' mesh axis); 0 = single-device serving")
 
 
 def _save_png_grid(images, path):

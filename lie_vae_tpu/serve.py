@@ -33,6 +33,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from lie_vae_tpu import ops
 
@@ -117,13 +118,35 @@ class InferenceSession:
     """
 
     def __init__(self, model, params, batch_stats=None, batch_size=64,
-                 seed=0):
+                 seed=0, mesh=None):
+        """``mesh``: optional :class:`jax.sharding.Mesh` with a ``data``
+        axis — serving data parallelism. Params/batch_stats are replicated
+        on every device, each compiled batch is split over the ``data``
+        axis, and XLA GSPMD runs the chunk as one SPMD program over ICI
+        (the serving mirror of the training mesh, parallel/mesh.py).
+        ``batch_size`` must divide evenly over the data axis."""
         self.model = model
-        self.params = params
-        self.batch_stats = batch_stats or {}
+        self.mesh = mesh
         self.batch_size = int(batch_size)
         self._key = jax.random.PRNGKey(seed)
-        self._has_bn = bool(jax.tree_util.tree_leaves(self.batch_stats))
+        self._has_bn = bool(jax.tree_util.tree_leaves(batch_stats or {}))
+
+        jit_kwargs = {}
+        if mesh is not None:
+            n_data = dict(zip(mesh.axis_names, mesh.devices.shape))["data"]
+            assert self.batch_size % n_data == 0, (
+                f"batch_size {self.batch_size} does not divide over the "
+                f"mesh's data axis ({n_data} devices); pick a multiple")
+            repl = NamedSharding(mesh, P())
+            batched = NamedSharding(mesh, P("data"))
+            params = jax.device_put(params, repl)
+            batch_stats = jax.device_put(batch_stats or {}, repl)
+            # (params, batch_stats, x[, key]) -> batch-sharded outputs;
+            # shardings are pytree prefixes, so one spec covers each tree.
+            jit_kwargs = dict(in_shardings=(repl, repl, batched, repl),
+                              out_shardings=batched)
+        self.params = params
+        self.batch_stats = batch_stats or {}
 
         model_ref = model  # locals close over config only, never params
 
@@ -158,25 +181,30 @@ class InferenceSession:
             mean, _, _ = encode_fn(params, batch_stats, x, key)
             return decode_fn(params, batch_stats, mean)
 
-        self._encode_jit = jax.jit(encode_fn)
-        self._decode_jit = jax.jit(decode_fn)
-        self._recon_jit = jax.jit(recon_fn)
+        decode_kwargs = {}
+        if jit_kwargs:
+            decode_kwargs = dict(
+                in_shardings=jit_kwargs["in_shardings"][:3],
+                out_shardings=jit_kwargs["out_shardings"])
+        self._encode_jit = jax.jit(encode_fn, **jit_kwargs)
+        self._decode_jit = jax.jit(decode_fn, **decode_kwargs)
+        self._recon_jit = jax.jit(recon_fn, **jit_kwargs)
 
     # ------------------------------------------------------------ plumbing
 
     @classmethod
-    def from_checkpoint(cls, path, model, batch_size=64, seed=0):
+    def from_checkpoint(cls, path, model, batch_size=64, seed=0, mesh=None):
         """Build a session from an orbax training checkpoint directory."""
         params, batch_stats, _ = load_checkpoint_arrays(path)
         return cls(model, params, batch_stats, batch_size=batch_size,
-                   seed=seed)
+                   seed=seed, mesh=mesh)
 
     @classmethod
-    def from_npz(cls, path, model, batch_size=64, seed=0):
+    def from_npz(cls, path, model, batch_size=64, seed=0, mesh=None):
         """Build a session from an :func:`export_npz` deployment artifact."""
         params, batch_stats, _ = load_npz(path)
         return cls(model, params, batch_stats, batch_size=batch_size,
-                   seed=seed)
+                   seed=seed, mesh=mesh)
 
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)

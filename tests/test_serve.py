@@ -172,6 +172,36 @@ def test_checkpoint_and_npz_round_trip(tmp_path):
         np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
 
 
+def test_mesh_session_matches_single_device():
+    """Data-parallel serving over an 8-device mesh is numerically the
+    single-device session (params replicated, batch split over 'data')."""
+    from lie_vae_tpu.parallel import make_mesh
+
+    model = _toy_model()
+    x = _toy_batch(model, 13)
+    params, bn = _init(model, _toy_batch(model, 4))
+    single = InferenceSession(model, params, bn, batch_size=8)
+    mesh = make_mesh(n_data=8)
+    sharded = InferenceSession(model, params, bn, batch_size=8, mesh=mesh)
+    a, b = single.encode(x), sharded.encode(x)
+    np.testing.assert_allclose(a["pose"], b["pose"], atol=1e-6)
+    np.testing.assert_allclose(a["sigma"], b["sigma"], atol=1e-6)
+    np.testing.assert_allclose(single.decode(a["pose"]),
+                               sharded.decode(a["pose"]), atol=1e-5)
+    np.testing.assert_allclose(single.reconstruct(x), sharded.reconstruct(x),
+                               atol=1e-5)
+
+
+def test_mesh_session_batch_must_divide():
+    from lie_vae_tpu.parallel import make_mesh
+
+    model = _toy_model()
+    params, bn = _init(model, _toy_batch(model, 4))
+    with pytest.raises(AssertionError, match="divide"):
+        InferenceSession(model, params, bn, batch_size=6,
+                         mesh=make_mesh(n_data=4))
+
+
 def test_warmup_compiles_conv_model():
     model = LieVAE(latent_mode="so3", decoder_mode="action", mean_mode="alg",
                    encode_mode="conv", deconv_mode="deconv", rgb=False,
@@ -236,6 +266,14 @@ def test_cli_export_sample_trajectory_bench(tmp_path, capsys):
     line = capsys.readouterr().out.strip().splitlines()[-1]
     import json
     assert json.loads(line)["batch_size"] == 4
+
+    # mesh-sharded serving through the CLI (8 virtual devices, conftest)
+    out_m = str(tmp_path / "samples_mesh.npz")
+    serve_cli.main(["sample", "--artifact", art, "-n", "3",
+                    "--batch_size", "8", "--data_devices", "8",
+                    "--out", out_m] + MODEL_FLAGS)
+    np.testing.assert_allclose(np.load(out_m)["images"],
+                               np.load(out_s)["images"][:3], atol=1e-5)
 
 
 def test_cli_checkpoint_matches_artifact(tmp_path):
