@@ -201,6 +201,12 @@ def cmd_bench(argv):
     p = argparse.ArgumentParser("serve bench")
     _add_session_flags(p)
     p.add_argument("--iters", type=int, default=30)
+    p.add_argument("--stream_chunks", type=int, default=32,
+                   help="chunks per streamed request in the throughput "
+                        "measurement (0 disables it)")
+    p.add_argument("--chip_scan", type=int, default=0,
+                   help="K-step scan length for the pure chip-rate "
+                        "measurement (0 disables it; use >=128 on TPU)")
     opts, rest = p.parse_known_args(argv)
     sess = _session(opts, rest)
     b = sess.batch_size
@@ -221,6 +227,56 @@ def cmd_bench(argv):
         dt = (time.perf_counter() - t0) / opts.iters
         result[name] = {"ms_per_batch": round(dt * 1e3, 3),
                         "items_per_s": round(b / dt, 1)}
+    if opts.stream_chunks:
+        # Throughput mode: one request of stream_chunks batches. _chunked
+        # dispatches every chunk before converting any output to host
+        # numpy, so async dispatch pipelines the chunks and the per-batch
+        # round-trip latency above is paid once, not per chunk.
+        n = b * opts.stream_chunks
+        xs = np.random.default_rng(1).random(
+            (n,) + tuple(sess.model.out_shape), np.float32)
+        sess.encode(xs)                          # settle/compile
+        t0 = time.perf_counter()
+        sess.encode(xs)
+        dt = time.perf_counter() - t0
+        result["encode_stream"] = {"items": n,
+                                   "items_per_s": round(n / dt, 1)}
+    if opts.chip_scan:
+        # Chip-rate mode: pure device compute per batch, dispatch and host
+        # transfer amortized away by a K-step scan whose carry perturbs
+        # the input (so XLA can neither hoist nor dead-code the model).
+        # On this image's tunneled runtime the wall figures above measure
+        # the relay, not the TPU — this is the hardware serving rate.
+        import jax
+        import jax.numpy as jnp
+
+        def chip_ms(pure_fn, needs_key):
+            def run(params, bn, xb, key):
+                def body(c, _):
+                    args = (params, bn, xb + c) + ((key,) if needs_key
+                                                  else ())
+                    out = pure_fn(*args)
+                    s = sum(jnp.sum(l.astype(jnp.float32))
+                            for l in jax.tree_util.tree_leaves(out))
+                    return (s * 1e-30).astype(xb.dtype), s
+                _, outs = jax.lax.scan(
+                    body, jnp.zeros((), jnp.float32), None,
+                    length=opts.chip_scan)
+                return outs
+
+            jf = jax.jit(run)
+            key = jax.random.PRNGKey(0)
+            xb = jnp.asarray(x)
+            float(jf(sess.params, sess.batch_stats, xb, key)[-1])  # compile
+            t0 = time.perf_counter()
+            o = jf(sess.params, sess.batch_stats, xb, key)
+            float(o[-1])                                  # true queue drain
+            return (time.perf_counter() - t0) / opts.chip_scan * 1e3
+
+        for name, needs_key in [("encode", True), ("reconstruct", True)]:
+            ms = chip_ms(sess.pure_fns[name], needs_key)
+            result[name]["chip_ms_per_batch"] = round(ms, 3)
+            result[name]["chip_items_per_s"] = round(b / ms * 1e3, 1)
     print(json.dumps(result))
     return result
 

@@ -181,6 +181,10 @@ class InferenceSession:
             mean, _, _ = encode_fn(params, batch_stats, x, key)
             return decode_fn(params, batch_stats, mean)
 
+        # unjitted pure fns, exposed for custom harnesses (cli.serve bench
+        # wraps them in a K-step scan to measure chip time w/o dispatch)
+        self.pure_fns = {"encode": encode_fn, "decode": decode_fn,
+                         "reconstruct": recon_fn}
         decode_kwargs = {}
         if jit_kwargs:
             decode_kwargs = dict(

@@ -261,8 +261,10 @@ def test_cli_export_sample_trajectory_bench(tmp_path, capsys):
 
     capsys.readouterr()
     result = serve_cli.main(["bench", "--artifact", art, "--batch_size", "4",
-                             "--iters", "2"] + MODEL_FLAGS)
+                             "--iters", "2", "--chip_scan", "2"]
+                            + MODEL_FLAGS)
     assert result["encode"]["items_per_s"] > 0
+    assert result["reconstruct"]["chip_items_per_s"] > 0
     line = capsys.readouterr().out.strip().splitlines()[-1]
     import json
     assert json.loads(line)["batch_size"] == 4
