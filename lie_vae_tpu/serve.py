@@ -226,6 +226,8 @@ class InferenceSession:
         per chunk, concat and slice back to N rows (single compiled shape
         regardless of request size)."""
         n = x.shape[0]
+        if n == 0:
+            raise ValueError("empty request (0 rows)")
         b = self.batch_size
         outs = []
         for lo in range(0, n, b):

@@ -192,6 +192,29 @@ def test_mesh_session_matches_single_device():
                                atol=1e-5)
 
 
+def test_mesh_session_conv_bn_model():
+    """Mesh serving replicates batch_stats too (conv+BN model)."""
+    from lie_vae_tpu.parallel import make_mesh
+
+    model = LieVAE(latent_mode="so3", decoder_mode="action", mean_mode="alg",
+                   encode_mode="conv", deconv_mode="deconv", rgb=False,
+                   degrees=2, deconv_hidden=8, conv_hidden=8, rep_copies=2)
+    x = np.random.default_rng(0).random((5, 64, 64, 1)).astype(np.float32)
+    params, bn = _init(model, jnp.asarray(x[:2]))
+    assert jax.tree_util.tree_leaves(bn), "BN model must carry batch_stats"
+    single = InferenceSession(model, params, bn, batch_size=4)
+    sharded = InferenceSession(model, params, bn, batch_size=4,
+                               mesh=make_mesh(n_data=4))
+    np.testing.assert_allclose(single.encode(x)["pose"],
+                               sharded.encode(x)["pose"], atol=1e-5)
+
+
+def test_empty_request_raises():
+    model, sess = _session()
+    with pytest.raises(ValueError, match="empty request"):
+        sess.encode(_toy_batch(model, 4)[:0])
+
+
 def test_mesh_session_batch_must_divide():
     from lie_vae_tpu.parallel import make_mesh
 
