@@ -36,8 +36,8 @@ import sys
 import time
 
 REF_STEPS_PER_SEC = 30.0
-SCAN_K = 64
-N_CALLS = 16  # 1024 timed steps
+SCAN_K = 64     # overridable via --scan_k; 1024 timed steps at default
+N_CALLS = 16
 
 
 def _real_batch(data_dir, batch):
@@ -93,10 +93,13 @@ def main(argv=None):
     ap.add_argument("--synthetic", action="store_true",
                     help="train on uniform noise instead of renders")
     ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--scan_k", type=int, default=SCAN_K,
+                    help="steps per dispatch (lax.scan length)")
     ap.add_argument("--wait_tunnel", type=float, default=1800,
                     help="seconds to wait for the TPU tunnel before "
                          "giving up (0 = no probe, init directly)")
     args = ap.parse_args(argv)
+    scan_k = args.scan_k
 
     if args.wait_tunnel and not _wait_for_tunnel(args.wait_tunnel):
         print(f"TPU tunnel unreachable after {args.wait_tunnel:.0f}s of "
@@ -145,7 +148,7 @@ def main(argv=None):
         def body(s, k):
             s2, l = train_step(s, x, k)
             return s2, l
-        s, ls = jax.lax.scan(body, state, jax.random.split(rng, SCAN_K))
+        s, ls = jax.lax.scan(body, state, jax.random.split(rng, scan_k))
         return s, ls[-1]
 
     step = jax.jit(multi_step, donate_argnums=0)
@@ -160,7 +163,7 @@ def main(argv=None):
             jax.random.PRNGKey(10), i))
     final_loss = float(loss)          # true queue drain
     dt = time.perf_counter() - t0
-    steps_per_sec = N_CALLS * SCAN_K / dt
+    steps_per_sec = N_CALLS * scan_k / dt
 
     print(json.dumps({
         "metric": "spherecube_so3_vae_train_steps_per_sec_per_chip",
@@ -172,7 +175,7 @@ def main(argv=None):
                           "reference: see BENCHMARKS.md); batch %d, 64x64 "
                           "RGB, degrees 6, bf16 compute, scan=%d; %s; "
                           "loss=%.1f"
-                          % (batch, SCAN_K, data_note, final_loss)),
+                          % (batch, scan_k, data_note, final_loss)),
     }))
 
 

@@ -32,17 +32,28 @@ import numpy as np
 
 
 def _build_model(args):
-    """Rebuild the LieVAE from training flags WITHOUT loading a dataset.
+    """Rebuild the LieVAE from training flags WITHOUT loading an image
+    dataset.
 
-    cli.build_model needs a dataset only for ``rgb`` and the toy/conv
-    encode-mode switch (cli/main.py:63-88); both are functions of
+    cli.build_model needs the dataset for ``rgb``, the toy/conv
+    encode-mode switch (cli/main.py:63-88) — both functions of
     --dataset alone (spherecube and sc-pairs are rgb image datasets,
-    datasets.py:87-92 in the reference).
+    datasets.py:87-92 in the reference) — and, for toy
+    ``--fixed_spectrum`` runs, the ground-truth harmonics the decoder
+    was frozen to (the checkpoint then has no item_rep param), which we
+    reload from --toy_path exactly as training did.
     """
     from lie_vae_tpu.models import LieVAE
 
     is_toy = args.dataset == "toy"
+    item_rep = None
+    if args.fixed_spectrum:
+        if not is_toy:
+            raise SystemExit("--fixed_spectrum is a toy-dataset flag")
+        from lie_vae_tpu.data.toy import ToyDataset
+        item_rep = ToyDataset(path=args.toy_path).harmonics
     return LieVAE(
+        fixed_item_rep=item_rep,
         latent_mode=args.latent_mode,
         mean_mode=args.mean_mode,
         decoder_mode=args.decoder_mode,
@@ -173,8 +184,17 @@ def cmd_trajectory(argv):
     sess = _session(opts, rest)
     if opts.images:
         from PIL import Image
-        x = np.stack([np.asarray(Image.open(f), np.float32) / 255.0
-                      for f in opts.images])
+        if len(sess.model.out_shape) != 3:
+            raise SystemExit("--images requires an image model "
+                             f"(out_shape {sess.model.out_shape})")
+        h, w, c = sess.model.out_shape
+        mode = "RGB" if c == 3 else "L"
+        x = np.stack([
+            np.asarray(Image.open(f).convert(mode).resize((w, h)),
+                       np.float32) / 255.0
+            for f in opts.images])
+        if c == 1:
+            x = x[..., None]
         poses = sess.encode(x)["pose"]
         a, b = poses[0], poses[1]
     else:

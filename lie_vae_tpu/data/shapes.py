@@ -126,7 +126,9 @@ class ShapeDataset:
         name = 0 if cls.single_id else filename_to_name(filename)
         return name, group_el, image
 
-    _DISK_CACHE_NAME = "_decoded_cache_v1.npz"
+    # v2: pose labels stored float64 (v1 cached float32, which made warm
+    # and cold cache states differ at the 1e-7 level)
+    _DISK_CACHE_NAME = "_decoded_cache_v2.npz"
 
     def _files_key(self):
         # filenames + size + mtime: re-rendered pixels under identical
@@ -183,7 +185,10 @@ class ShapeDataset:
             np.savez(tmp, key=np.asarray(key),
                      names=np.asarray(
                          names, dtype=np.int32 if self.single_id else None),
-                     gs=np.stack(gs, 0).astype(np.float32),
+                     # float64: the fresh-decode path produces float64
+                     # labels, and warm/cold cache states must be
+                     # bit-identical for seeded-run reproducibility
+                     gs=np.stack(gs, 0),
                      imgs=np.stack(imgs, 0))
             os.replace(tmp, path)
 

@@ -40,6 +40,21 @@ from lie_vae_tpu import ops
 _SEP = "/"
 
 
+# Pose math used by the serving surface, jitted once: on this image's
+# tunneled runtime every eager op is a remote compile/dispatch (seconds,
+# CLAUDE.md), so even a handful of small ops must compile as one program.
+@jax.jit
+def _geodesic_so3(a, b, t):
+    v = ops.vee(ops.logmap(jnp.swapaxes(a, -1, -2) @ b))
+    return jax.vmap(lambda s: a @ ops.expmap(s * v))(t)
+
+
+_haar_matrices = jax.jit(ops.random_group_matrices, static_argnums=1)
+_haar_quaternions = jax.jit(ops.random_quaternions, static_argnums=1)
+_normal_prior = jax.jit(lambda key, n, d: jax.random.normal(key, (n, d)),
+                        static_argnums=(1, 2))
+
+
 # --------------------------------------------------------------- checkpoints
 
 def load_checkpoint_arrays(path):
@@ -63,25 +78,20 @@ def load_checkpoint_arrays(path):
 
 
 def _flatten(tree, prefix):
-    flat = {}
-    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
-        key = _SEP.join(
-            str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
-        flat[prefix + _SEP + key if key else prefix] = np.asarray(leaf)
-    return flat
+    from flax import traverse_util
+
+    if not jax.tree_util.tree_leaves(tree):
+        return {}
+    return {prefix + _SEP + k: np.asarray(v)
+            for k, v in traverse_util.flatten_dict(tree, sep=_SEP).items()}
 
 
 def _unflatten(flat, prefix):
-    tree = {}
-    for key, value in flat.items():
-        if not key.startswith(prefix + _SEP):
-            continue
-        node = tree
-        parts = key[len(prefix) + 1:].split(_SEP)
-        for part in parts[:-1]:
-            node = node.setdefault(part, {})
-        node[parts[-1]] = jnp.asarray(value)
-    return tree
+    from flax import traverse_util
+
+    sub = {k[len(prefix) + 1:]: jnp.asarray(v) for k, v in flat.items()
+           if k.startswith(prefix + _SEP)}
+    return traverse_util.unflatten_dict(sub, sep=_SEP)
 
 
 def export_npz(checkpoint_path, out_path):
@@ -224,21 +234,31 @@ class InferenceSession:
     def _chunked(self, x, fn):
         """Pad N rows to full ``batch_size`` chunks, run the compiled fn
         per chunk, concat and slice back to N rows (single compiled shape
-        regardless of request size)."""
+        regardless of request size). ``fn(chunk, i)`` gets the chunk
+        index so callers can use independent RNG per chunk."""
         n = x.shape[0]
         if n == 0:
             raise ValueError("empty request (0 rows)")
         b = self.batch_size
         outs = []
-        for lo in range(0, n, b):
+        for i, lo in enumerate(range(0, n, b)):
             chunk = x[lo:lo + b]
             if chunk.shape[0] < b:
                 pad = np.repeat(chunk[-1:], b - chunk.shape[0], axis=0)
                 chunk = np.concatenate([chunk, pad], axis=0)
-            outs.append(fn(jnp.asarray(chunk)))
+            outs.append(fn(jnp.asarray(chunk), i))
         outs = [jax.tree_util.tree_map(np.asarray, o) for o in outs]
         return jax.tree_util.tree_map(
             lambda *xs: np.concatenate(xs, axis=0)[:n], *outs)
+
+    def _chunk_keys(self, n):
+        """One independent key per chunk of an N-row request (a single
+        split dispatch; per-chunk fold_in would pay a device round trip
+        each on the tunneled runtime)."""
+        n_chunks = max(1, -(-int(n) // self.batch_size))
+        # host numpy: indexing keys[i] must not dispatch a device gather
+        # per chunk on the tunneled runtime
+        return np.asarray(jax.random.split(self._next_key(), n_chunks))
 
     # ------------------------------------------------------------- surface
 
@@ -249,25 +269,26 @@ class InferenceSession:
         scales, "sample": (N, ...) one posterior sample}``.
         """
         x = self._normalize(images)
-        key = self._next_key()
+        keys = self._chunk_keys(x.shape[0])
         out = self._chunked(
-            x, lambda c: self._encode_jit(self.params, self.batch_stats,
-                                          c, key))
+            x, lambda c, i: self._encode_jit(self.params, self.batch_stats,
+                                             c, keys[i]))
         return {"pose": out[0], "sigma": out[1], "sample": out[2]}
 
     def decode(self, poses):
         """Decode N latent poses to images (or toy spectra)."""
         z = np.asarray(poses, np.float32)
         return self._chunked(
-            z, lambda c: self._decode_jit(self.params, self.batch_stats, c))
+            z, lambda c, i: self._decode_jit(self.params, self.batch_stats,
+                                             c))
 
     def reconstruct(self, images):
         """encode-mean -> decode round trip, the AE serving path."""
         x = self._normalize(images)
-        key = self._next_key()
+        keys = self._chunk_keys(x.shape[0])
         return self._chunked(
-            x, lambda c: self._recon_jit(self.params, self.batch_stats,
-                                         c, key))
+            x, lambda c, i: self._recon_jit(self.params, self.batch_stats,
+                                            c, keys[i]))
 
     def sample(self, n, seed=None):
         """Decode n Haar-random prior poses — generative sampling.
@@ -279,11 +300,11 @@ class InferenceSession:
                else self._next_key())
         mode = self.model.latent_mode
         if mode == "so3":
-            z = ops.random_group_matrices(key, n)
+            z = _haar_matrices(key, n)
         elif mode in ("vmf", "vmfq"):
-            z = ops.random_quaternions(key, n)
+            z = _haar_quaternions(key, n)
         elif mode == "normal":
-            z = jax.random.normal(key, (n, self.model.normal_dims))
+            z = _normal_prior(key, n, self.model.normal_dims)
         else:
             raise ValueError(f"Unknown latent mode {mode!r}")
         return self.decode(np.asarray(z))
@@ -301,10 +322,9 @@ class InferenceSession:
         t = np.linspace(0.0, 1.0, steps, dtype=np.float32)
         mode = self.model.latent_mode
         if mode == "so3":
-            a = jnp.asarray(pose_a, jnp.float32)
-            b = jnp.asarray(pose_b, jnp.float32)
-            v = ops.vee(ops.logmap(a.T @ b))
-            poses = jax.vmap(lambda s: a @ ops.expmap(s * v))(jnp.asarray(t))
+            poses = _geodesic_so3(jnp.asarray(pose_a, jnp.float32),
+                                  jnp.asarray(pose_b, jnp.float32),
+                                  jnp.asarray(t))
         elif mode in ("vmf", "vmfq"):
             qa = np.asarray(pose_a, np.float32)
             qb = np.asarray(pose_b, np.float32)

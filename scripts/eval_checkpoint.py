@@ -61,25 +61,27 @@ def main(argv=None):
     exp.state = restore_state(os.path.join("outputs", args.name, "checkpoint"),
                               exp.state)
 
-    # posterior sigma stats on one test batch (drift diagnostic)
-    xs = test_dataset.gather(np.arange(min(256, len(test_dataset))))
-    x = jnp.asarray(test_dataset.prep_batch(xs)[-1], jnp.float32)
-    if float(x.max()) > 1.5:          # uint8-cached datasets
-        x = x / 255.0
+    # posterior sigma stats on one test batch (drift diagnostic; the
+    # algebra-noise sigma only exists for the SO(3) pushforward latent)
+    if args.latent_mode == "so3":
+        xs = test_dataset.gather(np.arange(min(256, len(test_dataset))))
+        x = jnp.asarray(test_dataset.prep_batch(xs)[-1], jnp.float32)
+        if float(x.max()) > 1.5:      # uint8-cached datasets
+            x = x / 255.0
 
-    @jax.jit
-    def sigma_stats(params, bn, x):
-        stats = model.apply(exp._variables(params, bn),
-                            x, n=1, train=False, method=model.encode,
-                            rngs={"sample": jax.random.PRNGKey(0)})
-        sig = stats[0].inner.sigma
-        return sig.mean(), sig.max(), jnp.median(sig)
+        @jax.jit
+        def sigma_stats(params, bn, x):
+            stats = model.apply(exp._variables(params, bn),
+                                x, n=1, train=False, method=model.encode,
+                                rngs={"sample": jax.random.PRNGKey(0)})
+            sig = stats[0].inner.sigma
+            return sig.mean(), sig.max(), jnp.median(sig)
 
-    mean_s, max_s, med_s = sigma_stats(exp.state.params,
-                                       exp.state.batch_stats, x)
-    print(f"posterior sigma on {x.shape[0]} test items: "
-          f"mean {float(mean_s):.4f}  median {float(med_s):.4f}  "
-          f"max {float(max_s):.4f}")
+        mean_s, max_s, med_s = sigma_stats(exp.state.params,
+                                           exp.state.batch_stats, x)
+        print(f"posterior sigma on {x.shape[0]} test items: "
+              f"mean {float(mean_s):.4f}  median {float(med_s):.4f}  "
+              f"max {float(max_s):.4f}")
 
     for k in outer_args.density_k:
         exp.model = model.clone(density_k=k)

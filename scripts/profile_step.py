@@ -143,7 +143,7 @@ def parse_xplane(trace_dir, top, debug=False):
                 cat = None
                 for st in ev.stats:
                     sname = stat_names.get(st.metadata_id, "")
-                    if debug and per_op_count[name] == 1:
+                    if debug and per_op_count[full] == 1:
                         print("   stat:", name[:40], sname,
                               st.WhichOneof("value"))
                     if sname == "flops":

@@ -172,6 +172,18 @@ def test_checkpoint_and_npz_round_trip(tmp_path):
         np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
 
 
+def test_posterior_samples_independent_across_chunks():
+    """Each chunk of a request gets its own RNG: identical rows in
+    different chunks must NOT share sampling noise."""
+    model, sess = _session(batch_size=8)
+    row = _toy_batch(model, 1)
+    x = np.repeat(row, 16, axis=0)            # 2 chunks of identical rows
+    s = sess.encode(x)["sample"]
+    assert np.abs(s[0] - s[8]).max() > 1e-6
+    # within a chunk, distinct rows already had distinct noise
+    assert np.abs(s[0] - s[1]).max() > 1e-6
+
+
 def test_mesh_session_matches_single_device():
     """Data-parallel serving over an 8-device mesh is numerically the
     single-device session (params replicated, batch split over 'data')."""
@@ -299,6 +311,35 @@ def test_cli_export_sample_trajectory_bench(tmp_path, capsys):
                     "--out", out_m] + MODEL_FLAGS)
     np.testing.assert_allclose(np.load(out_m)["images"],
                                np.load(out_s)["images"][:3], atol=1e-5)
+
+
+def test_cli_fixed_spectrum_serving(tmp_path):
+    """--fixed_spectrum checkpoints (no item_rep param) must rebuild with
+    the dataset's harmonics at serve time, exactly as training did."""
+    from lie_vae_tpu.cli import main as cli
+    from lie_vae_tpu.cli import serve as serve_cli
+    from lie_vae_tpu.data.toy import ToyDataset
+    from lie_vae_tpu.train.state import TrainState, make_optimizer
+    from lie_vae_tpu.train.checkpoint import save_state
+
+    toy_path = str(tmp_path / "toy.npz")
+    ToyDataset.generate(8, degrees=3, rep_copies=2).save(toy_path)
+    flags = MODEL_FLAGS + ["--fixed_spectrum", "--toy_path", toy_path]
+    model = serve_cli._build_model(cli.parse_args(flags))
+    assert model.fixed_item_rep is not None
+    x = _toy_batch(model, 4)
+    params, bn = _init(model, x)
+    assert "decoder" not in str(sorted(params)) or not any(
+        "item_rep" in str(p)
+        for p, _ in jax.tree_util.tree_leaves_with_path(params))
+    ckpt = str(tmp_path / "checkpoint")
+    save_state(ckpt, TrainState.create(params, bn, make_optimizer()))
+    art = str(tmp_path / "artifact.npz")
+    serve_cli.main(["export", "--checkpoint", ckpt, "--out", art])
+    out = str(tmp_path / "s.npz")
+    serve_cli.main(["sample", "--artifact", art, "-n", "2",
+                    "--batch_size", "4", "--out", out] + flags)
+    assert np.isfinite(np.load(out)["images"]).all()
 
 
 def test_cli_checkpoint_matches_artifact(tmp_path):
