@@ -137,6 +137,7 @@ def main(argv=None):
         log_histograms=args.log_histograms,
         steps_per_call=args.steps_per_call,
         device_data=args.device_data,
+        seed=args.seed,
     )
 
     if args.continue_epoch > 0 and args.save_dir:
@@ -239,6 +240,11 @@ def parse_args(argv=None):
                         help="model-parallel mesh axis size")
     parser.add_argument("--toy_path", default="data/toy.npz")
     parser.add_argument("--log_histograms", action="store_true")
+    parser.add_argument("--seed", type=int, default=0,
+                        help="training RNG seed (param init, sampling "
+                             "noise, shuffle); the data split stays the "
+                             "reference's np-seed-0 so all seeds train on "
+                             "identical splits")
     parser.add_argument("--steps_per_call", type=int, default=1,
                         help="optimizer steps per jitted dispatch (scan); "
                              "use 8-32 on TPU to amortize host overhead")

@@ -101,6 +101,26 @@ def test_paper_configs_merge(tmp_path):
     assert doc.count(rpc.BEGIN) == 1 and doc.count(rpc.END) == 1
 
 
+def test_seed_study_merge(tmp_path):
+    from scripts import run_seed_study as rss
+
+    out = str(tmp_path / "B.md")
+    args = types.SimpleNamespace(out=out, data_dir="data/x", epochs=600,
+                                 max_early_stop=50,
+                                 compute_dtype="bfloat16")
+    rss.write_table({0: {"best_recon": 75.0, "ll": -80.0},
+                     1: {"best_recon": 76.0, "ll": -82.0}}, args)
+    doc = open(out).read()
+    assert "| seed 0 | 75.00 | -80.0 |" in doc
+    assert "| seed 1 | 76.00 | -82.0 |" in doc
+    assert "75.50 ± 0.71" in doc and "-81.0 ± 1.4" in doc
+    # partial rerun preserves rows and keeps one summary
+    rss.write_table({1: {"best_recon": 76.0, "ll": -82.0}}, args)
+    doc2 = open(out).read()
+    assert doc2.count(rss.BEGIN) == 1
+    assert "| seed 1 | 76.00 | -82.0 |" in doc2
+
+
 def test_r2_driver_scripts_import_and_parse():
     """The r2 chip/CPU drivers only execute on real hardware; at least pin
     that they import and their arg surfaces parse (rot guard).
@@ -118,6 +138,8 @@ def test_r2_driver_scripts_import_and_parse():
         ("scripts.bench_sol", False),
         ("scripts.bench_reference_torch", True),
         ("scripts.run_degree_sweep", True),
+        ("scripts.run_seed_study", True),
+        ("scripts.eval_checkpoint", True),
         ("bench", True),
     ]:
         m = importlib.import_module(mod)
