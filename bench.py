@@ -112,6 +112,12 @@ def main(argv=None):
 
     from __graft_entry__ import _flagship_model
     from lie_vae_tpu.train.state import TrainState, make_optimizer
+    from lie_vae_tpu.utils import enable_compilation_cache
+
+    # persistent XLA cache: a warm cache turns this benchmark's multi-
+    # minute remote compile into a disk read (timing is unaffected —
+    # only compile latency changes)
+    enable_compilation_cache()
 
     model = _flagship_model(compute_dtype="bfloat16")
 

@@ -22,6 +22,11 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)  # fp64 available for oracle tests
 
+# persistent XLA cache (content-keyed per backend/config): repeat suite
+# runs skip recompiling the unchanged programs
+from lie_vae_tpu.utils import enable_compilation_cache  # noqa: E402
+enable_compilation_cache()
+
 import pytest  # noqa: E402
 
 

@@ -32,3 +32,21 @@ def test_expand_dim():
 def test_cycle():
     it = cycle([1, 2, 3])
     assert [next(it) for _ in range(7)] == [1, 2, 3, 1, 2, 3, 1]
+
+
+def test_enable_compilation_cache(tmp_path, monkeypatch):
+    import os
+
+    from lie_vae_tpu.utils import enable_compilation_cache
+
+    old = jax.config.jax_compilation_cache_dir
+    try:
+        p = enable_compilation_cache(str(tmp_path / "c"))
+        assert os.path.isdir(p)
+        assert jax.config.jax_compilation_cache_dir == p
+        # opt-out env var disables without touching the config
+        monkeypatch.setenv("LIE_VAE_TPU_NO_COMPILE_CACHE", "1")
+        assert enable_compilation_cache(str(tmp_path / "d")) is None
+        assert jax.config.jax_compilation_cache_dir == p
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old)
