@@ -143,6 +143,26 @@ def main(argv=None):
         seed=args.seed,
     )
 
+    if args.torch_checkpoint:
+        # migrate a reference run: torch.save'd state_dict (the reference's
+        # save_dir/model.pickle, main.py:122-127) -> our params/batch_stats;
+        # optimizer state starts fresh (the reference never saved it)
+        if args.continue_epoch > 0:
+            raise SystemExit("--torch_checkpoint initializes a fresh run; "
+                             "it cannot be combined with --continue_epoch "
+                             "(use the orbax checkpoint to resume)")
+        from lie_vae_tpu.compat import load_torch_checkpoint
+        print(f"Importing torch checkpoint {args.torch_checkpoint} ..")
+        variables = {"params": experiment.state.params}
+        if experiment.state.batch_stats:
+            variables["batch_stats"] = experiment.state.batch_stats
+        imported = load_torch_checkpoint(args.torch_checkpoint, model,
+                                         variables)
+        experiment.state = experiment.state.replace(
+            params=imported["params"],
+            batch_stats=imported.get("batch_stats",
+                                     experiment.state.batch_stats))
+
     if args.continue_epoch > 0 and args.save_dir:
         print("Loading..")
         experiment.state = restore_state(
@@ -280,6 +300,11 @@ def parse_args(argv=None):
     parser.add_argument("--ll_chunk", type=int, default=None,
                         help="samples per scan chunk inside LL eval "
                              "(bounds the (n,B,...) decoder intermediates)")
+    parser.add_argument("--torch_checkpoint", default=None,
+                        help="initialize params (+BN stats) from a PyTorch "
+                             "reference checkpoint (torch.save'd "
+                             "state_dict, the reference's model.pickle) — "
+                             "fine-tune or evaluate a reference run on TPU")
     parser.add_argument("--profile_dir", default=None,
                         help="capture a jax.profiler device trace of a few "
                              "training dispatches before the run")

@@ -93,11 +93,15 @@ def _session(opts, rest):
         return InferenceSession.from_npz(
             opts.artifact, model, batch_size=opts.batch_size, seed=opts.seed,
             mesh=mesh)
+    if getattr(opts, "torch", None):
+        return InferenceSession.from_torch(
+            opts.torch, model, batch_size=opts.batch_size, seed=opts.seed,
+            mesh=mesh)
     path = opts.checkpoint or (args.name and
                                os.path.join("outputs", args.name,
                                             "checkpoint"))
     if not path:
-        raise SystemExit("pass --artifact, --checkpoint, or --name")
+        raise SystemExit("pass --artifact, --torch, --checkpoint, or --name")
     return InferenceSession.from_checkpoint(
         path, model, batch_size=opts.batch_size, seed=opts.seed, mesh=mesh)
 
@@ -105,6 +109,8 @@ def _session(opts, rest):
 def _add_session_flags(p):
     p.add_argument("--artifact", help=".npz deployment artifact (export)")
     p.add_argument("--checkpoint", help="orbax checkpoint directory")
+    p.add_argument("--torch", help="PyTorch reference checkpoint "
+                                   "(state_dict pickle) to serve directly")
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", help="output .npz path")
@@ -139,18 +145,31 @@ def _save_png_grid(images, path):
 
 
 def cmd_export(argv):
-    from lie_vae_tpu.serve import export_npz
+    from lie_vae_tpu.serve import export_npz, export_npz_from_torch
 
     p = argparse.ArgumentParser("serve export")
     p.add_argument("--name", help="run name under outputs/")
     p.add_argument("--checkpoint", help="explicit orbax checkpoint dir")
+    p.add_argument("--torch", help="PyTorch reference checkpoint "
+                                   "(state_dict pickle) to convert; pass "
+                                   "the run's model flags after it")
     p.add_argument("--out", help="output .npz (default <run>/artifact.npz)")
-    opts = p.parse_args(argv)
+    opts, rest = p.parse_known_args(argv)
+    if opts.torch:
+        from lie_vae_tpu.cli import main as cli
+        out = opts.out or os.path.splitext(opts.torch)[0] + ".npz"
+        export_npz_from_torch(opts.torch, _build_model(cli.parse_args(rest)),
+                              out)
+        print(f"wrote {out} ({os.path.getsize(out) / 1e6:.1f} MB)")
+        return out
+    if rest:
+        raise SystemExit(f"unknown arguments {rest} (model flags are only "
+                         "meaningful with --torch)")
     ckpt = opts.checkpoint or (opts.name and
                                os.path.join("outputs", opts.name,
                                             "checkpoint"))
     if not ckpt:
-        raise SystemExit("pass --name or --checkpoint")
+        raise SystemExit("pass --name, --checkpoint, or --torch")
     out = opts.out or os.path.join(os.path.dirname(ckpt.rstrip("/")),
                                    "artifact.npz")
     export_npz(ckpt, out)

@@ -105,6 +105,21 @@ def export_npz(checkpoint_path, out_path):
     return out_path
 
 
+def export_npz_from_torch(torch_path, model, out_path):
+    """Like :func:`export_npz`, but sourced from a PyTorch reference
+    checkpoint (``torch.save``'d state_dict, the reference's
+    ``model.pickle``, main.py:122-127) — one-command migration of an
+    existing reference run into a TPU deployment artifact."""
+    from lie_vae_tpu.compat import load_torch_checkpoint
+
+    variables = load_torch_checkpoint(torch_path, model)
+    flat = _flatten(variables["params"], "params")
+    flat.update(_flatten(variables.get("batch_stats", {}), "batch_stats"))
+    flat["__step__"] = np.asarray(0)
+    np.savez(out_path, **flat)
+    return out_path
+
+
 def load_npz(path):
     """Inverse of :func:`export_npz`: returns (params, batch_stats, step)."""
     with np.load(path) as z:
@@ -218,6 +233,17 @@ class InferenceSession:
         """Build a session from an :func:`export_npz` deployment artifact."""
         params, batch_stats, _ = load_npz(path)
         return cls(model, params, batch_stats, batch_size=batch_size,
+                   seed=seed, mesh=mesh)
+
+    @classmethod
+    def from_torch(cls, path, model, batch_size=64, seed=0, mesh=None):
+        """Serve a PyTorch reference checkpoint directly (state_dict
+        pickle; see :mod:`lie_vae_tpu.compat`)."""
+        from lie_vae_tpu.compat import load_torch_checkpoint
+
+        variables = load_torch_checkpoint(path, model)
+        return cls(model, variables["params"],
+                   variables.get("batch_stats", {}), batch_size=batch_size,
                    seed=seed, mesh=mesh)
 
     def _next_key(self):
