@@ -111,13 +111,10 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from __graft_entry__ import _flagship_model
+    # importing lie_vae_tpu enables the persistent XLA cache: a warm cache
+    # turns this benchmark's multi-minute remote compile into a disk read
+    # (timing is unaffected — only compile latency changes)
     from lie_vae_tpu.train.state import TrainState, make_optimizer
-    from lie_vae_tpu.utils import enable_compilation_cache
-
-    # persistent XLA cache: a warm cache turns this benchmark's multi-
-    # minute remote compile into a disk read (timing is unaffected —
-    # only compile latency changes)
-    enable_compilation_cache()
 
     model = _flagship_model(compute_dtype="bfloat16")
 

@@ -25,3 +25,11 @@ Layout
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache for every entry point that imports the
+# package (see utils.enable_compilation_cache: opt out with
+# LIE_VAE_TPU_NO_COMPILE_CACHE=1, relocate with LIE_VAE_TPU_CACHE_DIR).
+from lie_vae_tpu.utils import enable_compilation_cache as _enable_cache
+
+_enable_cache()
+del _enable_cache

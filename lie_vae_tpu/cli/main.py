@@ -88,9 +88,6 @@ def build_model(args, dataset, item_rep):
 
 
 def main(argv=None):
-    from lie_vae_tpu.utils import enable_compilation_cache
-    enable_compilation_cache()
-
     args = parse_args(argv)
     print({k: v for k, v in sorted(vars(args).items())})
     if args.name is not None:

@@ -325,9 +325,6 @@ COMMANDS = {"export": cmd_export, "sample": cmd_sample,
 
 
 def main(argv=None):
-    from lie_vae_tpu.utils import enable_compilation_cache
-    enable_compilation_cache()
-
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] not in COMMANDS:
         raise SystemExit(

@@ -125,8 +125,14 @@ def reference_key_mapping(model):
                                                  _linear)
             m[f"{inner}.sigma_linear.bias"] = (rg + ("sigma", "bias"),
                                                _identity)
-        else:                        # constant buffer (reparameterize.py:111)
+        else:
+            # constant buffer (reparameterize.py:111); the reference's
+            # N0reparameterize instantiates sigma_linear unconditionally
+            # (reparameterize.py:107) even though fixed_sigma bypasses it
+            # in forward — its untrained weights are present but unused
             ignore.add(f"{inner}.fixed_sigma")
+            ignore.add(f"{inner}.sigma_linear.weight")
+            ignore.add(f"{inner}.sigma_linear.bias")
     elif model.latent_mode == "normal":
         for ref_name, ours in (("mu_linear", "mu"),
                                ("sigma_linear", "sigma")):
@@ -175,13 +181,25 @@ def reference_key_mapping(model):
 
 
 def _mutable(tree):
-    """Deep-copy a (possibly Frozen) variables tree into plain dicts of
-    numpy arrays so paths can be assigned."""
+    """Rebuild a (possibly Frozen) variables tree as plain dicts of
+    metadata-only numpy zeros: only shape/dtype are consumed (the import
+    is checked complete, every value gets overwritten), so device arrays
+    are never pulled to host."""
     try:
         items = tree.items()
     except AttributeError:
+        if hasattr(tree, "shape") and hasattr(tree, "dtype"):
+            return np.zeros(tree.shape, tree.dtype)
         return np.asarray(tree)
     return {k: _mutable(v) for k, v in items}
+
+
+def _leaf_paths(tree, prefix=()):
+    try:
+        items = tree.items()
+    except AttributeError:
+        return [prefix]
+    return [p for k, v in items for p in _leaf_paths(v, prefix + (k,))]
 
 
 def _get(tree, path):
@@ -225,7 +243,7 @@ def import_torch_state_dict(state_dict, model, variables):
             " original reference run's flags.")
 
     out = _mutable(variables)
-    bad = []
+    bad, assigned = [], set()
     for key, (path, transform) in mapping.items():
         template = _get(out, path)
         if template is None:
@@ -238,6 +256,16 @@ def import_torch_state_dict(state_dict, model, variables):
                        f" at {'/'.join(path)}")
             continue
         _set(out, path, value.astype(template.dtype))
+        assigned.add(path)
+    # completeness: every model tensor must come from the checkpoint —
+    # a silently untrained submodule would be worse than an error
+    unfilled = [
+        "/".join(p)
+        for coll in ("params", "batch_stats") if coll in out
+        for p in _leaf_paths(out[coll], (coll,)) if p not in assigned]
+    if unfilled:
+        bad.append("model tensors not covered by the checkpoint mapping: "
+                   + ", ".join(sorted(unfilled)))
     if bad:
         raise ValueError("torch checkpoint import failed:\n  "
                          + "\n  ".join(bad))
@@ -263,7 +291,9 @@ def load_torch_checkpoint(path, model, variables=None):
     fresh ``template_variables(model)``."""
     import torch
 
-    state_dict = torch.load(path, map_location="cpu")
+    # weights_only: the supported payload is a plain state_dict, so never
+    # let torch.load unpickle arbitrary code from an untrusted file
+    state_dict = torch.load(path, map_location="cpu", weights_only=True)
     if variables is None:
         variables = template_variables(model)
     return import_torch_state_dict(state_dict, model, variables)

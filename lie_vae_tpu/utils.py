@@ -6,18 +6,20 @@ import os
 import jax.numpy as jnp
 
 
-def enable_compilation_cache(cache_dir=None):
+def enable_compilation_cache(cache_dir=None, max_size=8 << 30):
     """Enable JAX's persistent (on-disk) compilation cache.
 
-    Every production entry point (cli.main, cli.serve, bench.py, the
-    driver entry) calls this: XLA executables are content-addressed, so
-    any later process compiling the same program loads it from disk
-    instead of recompiling. On a tunneled/remote-compile TPU runtime the
-    effect is dramatic — measured here, flagship cold start (device init
-    + model.init's many small jits + the elbo program) drops from ~123 s
+    Called once from ``lie_vae_tpu/__init__`` so every entry point
+    (CLI, serving, benches, scripts, tests) is covered by importing the
+    package: XLA executables are content-addressed, so any later process
+    compiling the same program loads it from disk instead of
+    recompiling. On a tunneled/remote-compile TPU runtime the effect is
+    dramatic — measured here, flagship cold start (device init +
+    model.init's many small jits + the elbo program) drops from ~123 s
     to ~7 s in the next process. The threshold configs are zeroed
     because on this runtime even sub-second-to-build programs cost a
-    multi-second remote round trip.
+    multi-second remote round trip; ``max_size`` bounds the directory
+    (LRU eviction) so it cannot grow without limit.
 
     On the CPU backend, loading a cached entry may print an XLA
     cpu_aot_loader machine-feature warning caused by the
@@ -25,15 +27,19 @@ def enable_compilation_cache(cache_dir=None):
     cosmetic (same host, execution verified correct).
 
     Opt out with LIE_VAE_TPU_NO_COMPILE_CACHE=1; relocate with
-    LIE_VAE_TPU_CACHE_DIR (default ~/.cache/lie_vae_tpu/xla). Returns
-    the cache path, or None when disabled. Safe under concurrent
-    processes (atomic entry writes) and across version changes (the JAX
-    cache key includes jax/backend versions and compile options).
+    LIE_VAE_TPU_CACHE_DIR (default ~/.cache/lie_vae_tpu/xla). A cache
+    dir already configured on jax (by the user) wins unless an explicit
+    ``cache_dir`` is passed. Returns the cache path, or None when
+    disabled. Safe under concurrent processes (atomic entry writes) and
+    across version changes (the JAX cache key includes jax/backend
+    versions and compile options).
     """
     import jax
 
     if os.environ.get("LIE_VAE_TPU_NO_COMPILE_CACHE") == "1":
         return None
+    if cache_dir is None and jax.config.jax_compilation_cache_dir:
+        return jax.config.jax_compilation_cache_dir
     path = cache_dir or os.environ.get(
         "LIE_VAE_TPU_CACHE_DIR",
         os.path.expanduser("~/.cache/lie_vae_tpu/xla"))
@@ -41,6 +47,7 @@ def enable_compilation_cache(cache_dir=None):
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_compilation_cache_max_size", max_size)
     return path
 
 

@@ -22,10 +22,14 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)  # fp64 available for oracle tests
 
-# persistent XLA cache (content-keyed per backend/config): repeat suite
-# runs skip recompiling the unchanged programs
-from lie_vae_tpu.utils import enable_compilation_cache  # noqa: E402
-enable_compilation_cache()
+# persistent XLA cache (enabled by the package import below): repeat suite
+# runs skip recompiling unchanged programs. The suite's throwaway x64-CPU
+# executables go to their own directory so they never crowd the production
+# cache (respect an explicit user override).
+os.environ.setdefault(
+    "LIE_VAE_TPU_CACHE_DIR",
+    os.path.expanduser("~/.cache/lie_vae_tpu/xla-tests"))
+import lie_vae_tpu  # noqa: E402,F401
 
 import pytest  # noqa: E402
 

@@ -144,6 +144,20 @@ def test_import_vmfq(ref):
     _assert_forward_match(ref_model, model, imported, x)
 
 
+def test_import_fixed_sigma_alg(ref):
+    """fixed_sigma runs: the reference instantiates sigma_linear anyway
+    (reparameterize.py:107) — its unused weights must be ignored, not
+    rejected. Also covers the AlgebraMean head."""
+    cfg = dict(latent_mode="so3", decoder_mode="action", mean_mode="alg",
+               encode_mode="conv", deconv_mode="deconv", degrees=3,
+               rep_copies=4, deconv_hidden=16, rgb=False, batch_norm=False,
+               fixed_sigma=0.1)
+    ref_model, model, variables, x = _build_pair(ref, 8, **cfg)
+    imported = import_torch_state_dict(ref_model.state_dict(), model,
+                                       variables)
+    _assert_forward_match(ref_model, model, imported, x)
+
+
 def test_config_mismatch_is_loud(ref):
     """A checkpoint from a different architecture fails with named keys
     instead of silently leaving submodules untrained."""
