@@ -36,7 +36,12 @@ import sys
 import time
 
 REF_STEPS_PER_SEC = 30.0
-SCAN_K = 64     # overridable via --scan_k; 1024 timed steps at default
+# steps per dispatch (overridable via --scan_k). 128 beats 64 by ~2%
+# (700 vs 686 steps/s: the residual dispatch share halves); its one-time
+# compile is ~15 min on this tunneled compiler but the persistent XLA
+# cache (enabled by the lie_vae_tpu import) makes every later run warm
+# (~40 s end to end). Use --scan_k 64 to avoid the cold compile.
+SCAN_K = 128
 N_CALLS = 16
 
 
