@@ -153,6 +153,11 @@ def cmd_export(argv):
     p.add_argument("--torch", help="PyTorch reference checkpoint "
                                    "(state_dict pickle) to convert; pass "
                                    "the run's model flags after it")
+    p.add_argument("--to_torch", metavar="PICKLE",
+                   help="export the orbax checkpoint as a PyTorch "
+                        "reference state_dict instead (loadable by the "
+                        "reference with strict=True); pass the run's "
+                        "model flags after it")
     p.add_argument("--out", help="output .npz (default <run>/artifact.npz)")
     opts, rest = p.parse_known_args(argv)
     if opts.torch:
@@ -162,14 +167,27 @@ def cmd_export(argv):
                               out)
         print(f"wrote {out} ({os.path.getsize(out) / 1e6:.1f} MB)")
         return out
-    if rest:
+    if rest and not opts.to_torch:
         raise SystemExit(f"unknown arguments {rest} (model flags are only "
-                         "meaningful with --torch)")
+                         "meaningful with --torch/--to_torch)")
     ckpt = opts.checkpoint or (opts.name and
                                os.path.join("outputs", opts.name,
                                             "checkpoint"))
     if not ckpt:
         raise SystemExit("pass --name, --checkpoint, or --torch")
+    if opts.to_torch:
+        from lie_vae_tpu.cli import main as cli
+        from lie_vae_tpu.compat import save_torch_checkpoint
+        from lie_vae_tpu.serve import load_checkpoint_arrays
+        params, batch_stats, _ = load_checkpoint_arrays(ckpt)
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        save_torch_checkpoint(opts.to_torch, variables,
+                              _build_model(cli.parse_args(rest)))
+        print(f"wrote {opts.to_torch} "
+              f"({os.path.getsize(opts.to_torch) / 1e6:.1f} MB)")
+        return opts.to_torch
     out = opts.out or os.path.join(os.path.dirname(ckpt.rstrip("/")),
                                    "artifact.npz")
     export_npz(ckpt, out)

@@ -54,6 +54,15 @@ def _deconv(a):
                                              (2, 3, 0, 1)))
 
 
+def _conv_inv(a):
+    return np.transpose(a, (3, 2, 0, 1))
+
+
+def _deconv_inv(a):
+    return np.ascontiguousarray(
+        np.transpose(a, (2, 3, 0, 1))[:, :, ::-1, ::-1])
+
+
 def _mlp_entries(torch_prefix, flax_path, num_layers):
     """Reference MLP (nets.py:78-91) Sequential linear indices -> our
     MLP's Dense_i (same structure: num_layers=0 is a single Linear)."""
@@ -270,6 +279,69 @@ def import_torch_state_dict(state_dict, model, variables):
         raise ValueError("torch checkpoint import failed:\n  "
                          + "\n  ".join(bad))
     return jax.tree_util.tree_map(jnp.asarray, out)
+
+
+_INVERSE = {_identity: _identity, _linear: _linear, _conv: _conv_inv,
+            _deconv: _deconv_inv}
+
+
+def export_torch_state_dict(variables, model):
+    """Inverse of :func:`import_torch_state_dict`: flatten a LieVAE
+    variables tree into a reference-keyed state_dict (numpy values) that
+    the PyTorch reference loads with ``strict=True`` — take a TPU-trained
+    model back into the reference ecosystem (its notebook, its eval
+    loops).
+
+    Keys the reference registers but does not train are synthesized:
+    BatchNorm ``num_batches_tracked`` (0), the duplicate ``rep_group.*``
+    registration (aliases of ``reparameterize.0.*``, vae.py:88,102), the
+    ``fixed_sigma`` buffer, an untrained ``sigma_linear`` when
+    fixed_sigma is set (present but unused, reparameterize.py:107), and
+    a fixed ``item_rep`` buffer.
+    """
+    mapping, _ = reference_key_mapping(model)
+    out, bad = {}, []
+    for key, (path, transform) in mapping.items():
+        value = _get(variables, path)
+        if value is None:
+            bad.append(f"{'/'.join(path)} (for {key})")
+            continue
+        out[key] = _INVERSE[transform](np.asarray(value))
+    if bad:
+        raise ValueError("variables tree is missing tensors required by "
+                         "the reference layout: " + ", ".join(sorted(bad)))
+
+    if model.encode_mode == "conv" and model.batch_norm:
+        for t in (1, 4, 7, 10):
+            out[f"encoder.{t}.num_batches_tracked"] = np.asarray(0)
+    if model.latent_mode == "so3" and model.fixed_sigma is not None:
+        inner = "reparameterize.0.reparameterize"
+        out[f"{inner}.fixed_sigma"] = np.asarray(model.fixed_sigma,
+                                                 np.float32)
+        in_dims = model._in_dims()
+        out[f"{inner}.sigma_linear.weight"] = np.zeros((3, in_dims),
+                                                       np.float32)
+        out[f"{inner}.sigma_linear.bias"] = np.zeros((3,), np.float32)
+    if model.decoder_mode == "action" and model.fixed_item_rep is not None:
+        out["decoder.item_rep"] = np.asarray(model.fixed_item_rep,
+                                             np.float32)
+    # the reference registers the reparameterizer twice (vae.py:88,102)
+    for key in [k for k in list(out) if k.startswith("reparameterize.0.")]:
+        out["rep_group." + key[len("reparameterize.0."):]] = out[key]
+    return out
+
+
+def save_torch_checkpoint(path, variables, model):
+    """``torch.save`` an :func:`export_torch_state_dict` result in the
+    reference's checkpoint format (loadable by its ``--continue_epoch``
+    path, main.py:72-75)."""
+    import torch
+
+    state_dict = {k: torch.from_numpy(np.ascontiguousarray(v))
+                  for k, v in export_torch_state_dict(variables,
+                                                      model).items()}
+    torch.save(state_dict, path)
+    return path
 
 
 def template_variables(model, seed=0):

@@ -222,6 +222,72 @@ def test_serve_export_torch(ref, tmp_path, monkeypatch):
                                t2n(ref_model.decoder.item_rep), atol=1e-7)
 
 
+def test_export_to_reference_strict(ref):
+    """Reverse migration: a TPU variables tree exports to a state_dict
+    the live reference loads with strict=True, and the two models then
+    agree forward — TPU-trained models flow back to the reference."""
+    from lie_vae_tpu.compat import export_torch_state_dict
+
+    ref_model, model, variables, x = _build_pair(ref, 9, **FLAGSHIP)
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in export_torch_state_dict(variables, model).items()}
+    ref_model.load_state_dict(sd, strict=True)
+    ref_model.eval()
+    _assert_forward_match(ref_model, model, variables, x)
+
+
+def test_export_import_round_trip(ref):
+    """import(export(v)) == v bit-exactly for every tensor."""
+    from lie_vae_tpu.compat import export_torch_state_dict
+
+    _, model, variables, _ = _build_pair(ref, 10, **FLAGSHIP)
+    back = import_torch_state_dict(
+        export_torch_state_dict(variables, model), model, variables)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        dict(variables), back)
+
+
+def test_export_fixed_sigma_strict(ref):
+    """fixed_sigma export synthesizes the buffer + untrained sigma_linear
+    the reference registers (strict load must accept it)."""
+    from lie_vae_tpu.compat import export_torch_state_dict
+
+    cfg = dict(latent_mode="so3", decoder_mode="action", mean_mode="alg",
+               encode_mode="toy", deconv_mode="toy", degrees=3,
+               rep_copies=4, fixed_sigma=0.25)
+    ref_model, model, variables, x = _build_pair(ref, 11, **cfg)
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in export_torch_state_dict(variables, model).items()}
+    ref_model.load_state_dict(sd, strict=True)
+    ref_model.eval()
+    _assert_forward_match(ref_model, model, variables, x)
+
+
+def test_serve_export_to_torch(ref, tmp_path, monkeypatch):
+    """serve export --to_torch: orbax checkpoint -> reference pickle."""
+    from lie_vae_tpu.cli.serve import cmd_export
+    from lie_vae_tpu.train.checkpoint import save_state
+    from lie_vae_tpu.train.state import TrainState, make_optimizer
+
+    ref_model, model, variables, x = _build_pair(ref, 12, **TOY_CFG)
+    tx = make_optimizer()
+    state = TrainState.create(params=variables["params"], batch_stats={},
+                              tx=tx)
+    ckpt_dir = tmp_path / "outputs" / "run" / "checkpoint"
+    save_state(str(ckpt_dir), state)
+
+    monkeypatch.chdir(tmp_path)
+    out = cmd_export(["--name", "run", "--to_torch", "model.pickle",
+                      "--dataset", "toy", "--degrees", "3",
+                      "--rep_copies", "4"])
+    sd = torch.load(out, map_location="cpu", weights_only=True)
+    ref_model.load_state_dict(sd, strict=True)
+    ref_model.eval()
+    _assert_forward_match(ref_model, model, variables, x)
+
+
 def test_load_torch_checkpoint_file(ref, tmp_path):
     """Round trip through an on-disk torch checkpoint, the reference's
     actual artifact format (main.py:122-127)."""
