@@ -81,8 +81,13 @@ def _build_model(args):
 def _session(opts, rest):
     """Build an InferenceSession from --artifact/--checkpoint + model flags."""
     from lie_vae_tpu.cli import main as cli
-    from lie_vae_tpu.serve import InferenceSession
+    from lie_vae_tpu.serve import AotSession, InferenceSession
 
+    if getattr(opts, "aot", None):
+        if opts.data_devices:
+            raise SystemExit("--aot serving is single-device (the mesh "
+                             "path needs the live session)")
+        return AotSession(opts.aot, seed=opts.seed)
     args = cli.parse_args(rest)
     model = _build_model(args)
     mesh = None
@@ -108,6 +113,8 @@ def _session(opts, rest):
 
 def _add_session_flags(p):
     p.add_argument("--artifact", help=".npz deployment artifact (export)")
+    p.add_argument("--aot", help="AOT artifact (export --aot): serves "
+                                 "without model flags or model code")
     p.add_argument("--checkpoint", help="orbax checkpoint directory")
     p.add_argument("--torch", help="PyTorch reference checkpoint "
                                    "(state_dict pickle) to serve directly")
@@ -158,6 +165,13 @@ def cmd_export(argv):
                         "reference state_dict instead (loadable by the "
                         "reference with strict=True); pass the run's "
                         "model flags after it")
+    p.add_argument("--aot", action="store_true",
+                   help="export an ahead-of-time artifact: weights + "
+                        "StableHLO serving programs (jax.export) — "
+                        "serve it with --aot and no model flags; pass "
+                        "the run's model flags after it")
+    p.add_argument("--aot_batch", type=int, default=64,
+                   help="fixed batch size baked into the AOT programs")
     p.add_argument("--out", help="output .npz (default <run>/artifact.npz)")
     opts, rest = p.parse_known_args(argv)
     if opts.torch:
@@ -167,9 +181,9 @@ def cmd_export(argv):
                               out)
         print(f"wrote {out} ({os.path.getsize(out) / 1e6:.1f} MB)")
         return out
-    if rest and not opts.to_torch:
+    if rest and not (opts.to_torch or opts.aot):
         raise SystemExit(f"unknown arguments {rest} (model flags are only "
-                         "meaningful with --torch/--to_torch)")
+                         "meaningful with --torch/--to_torch/--aot)")
     ckpt = opts.checkpoint or (opts.name and
                                os.path.join("outputs", opts.name,
                                             "checkpoint"))
@@ -188,6 +202,15 @@ def cmd_export(argv):
         print(f"wrote {opts.to_torch} "
               f"({os.path.getsize(opts.to_torch) / 1e6:.1f} MB)")
         return opts.to_torch
+    if opts.aot:
+        from lie_vae_tpu.cli import main as cli
+        from lie_vae_tpu.serve import export_aot
+        out = opts.out or os.path.join(os.path.dirname(ckpt.rstrip("/")),
+                                       "artifact_aot.npz")
+        export_aot(ckpt, _build_model(cli.parse_args(rest)), out,
+                   batch_size=opts.aot_batch)
+        print(f"wrote {out} ({os.path.getsize(out) / 1e6:.1f} MB)")
+        return out
     out = opts.out or os.path.join(os.path.dirname(ckpt.rstrip("/")),
                                    "artifact.npz")
     export_npz(ckpt, out)

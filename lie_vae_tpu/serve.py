@@ -28,6 +28,7 @@ Typical use::
     poses = sess.encode(images)["pose"]          # (N, 3, 3) rotations
     frames = sess.geodesic(poses[0], poses[1], steps=30)  # latent traversal
 """
+import functools
 import os
 
 import jax
@@ -126,6 +127,64 @@ def load_npz(path):
         flat = {k: z[k] for k in z.files}
     step = int(flat.pop("__step__", 0))
     return _unflatten(flat, "params"), _unflatten(flat, "batch_stats"), step
+
+
+# --------------------------------------------------------------- AOT export
+
+def export_aot(checkpoint_path, model, out_path, batch_size=64,
+               platforms=("tpu", "cpu")):
+    """Ahead-of-time serving artifact: weights + the three serving
+    programs (encode / decode / reconstruct) serialized as version-stable
+    StableHLO via ``jax.export`` — loadable and runnable WITHOUT the
+    model code (no flax, no lie_vae_tpu.models, no tracing at serving
+    time; see :class:`AotSession`).
+
+    The programs take (params, batch_stats, batch[, key]) as arguments —
+    weights are never baked in as constants (besides keeping the artifact
+    hot-swappable, closing over big constants is miscompiled on this
+    image's TPU runtime, see CLAUDE.md). Shapes are fixed at
+    ``batch_size`` rows, matching the session's padded-chunk dispatch.
+
+    ``platforms``: lowering targets recorded in the artifact (default
+    TPU + CPU — one artifact serves both; the export itself can run on
+    either platform).
+    """
+    import json
+
+    from jax import export as jexport
+
+    params, batch_stats, _ = load_checkpoint_arrays(checkpoint_path)
+    sess = InferenceSession(model, params, batch_stats,
+                            batch_size=batch_size)
+    b = int(batch_size)
+    pose_dims = {"so3": (3, 3), "normal": (model.normal_dims,),
+                 "vmf": (4,), "vmfq": (4,)}[model.latent_mode]
+    struct = functools.partial(jax.tree_util.tree_map,
+                               lambda a: jax.ShapeDtypeStruct(
+                                   np.shape(a), np.asarray(a).dtype))
+    p_s, bs_s = struct(sess.params), struct(sess.batch_stats)
+    x_s = jax.ShapeDtypeStruct((b,) + tuple(model.out_shape), jnp.float32)
+    z_s = jax.ShapeDtypeStruct((b,) + pose_dims, jnp.float32)
+    key_s = struct(np.asarray(jax.random.PRNGKey(0)))
+
+    flat = _flatten(sess.params, "params")
+    flat.update(_flatten(sess.batch_stats, "batch_stats"))
+    specs = {"encode": (p_s, bs_s, x_s, key_s),
+             "decode": (p_s, bs_s, z_s),
+             "reconstruct": (p_s, bs_s, x_s, key_s)}
+    for name, args in specs.items():
+        exp = jexport.export(jax.jit(sess.pure_fns[name]),
+                             platforms=list(platforms))(*args)
+        flat[f"__aot_{name}__"] = np.frombuffer(exp.serialize(), np.uint8)
+    meta = {"latent_mode": model.latent_mode,
+            "normal_dims": model.normal_dims,
+            "out_shape": list(model.out_shape),
+            "batch_size": b, "platforms": list(platforms),
+            "jax_version": jax.__version__}
+    flat["__aot_meta__"] = np.frombuffer(json.dumps(meta).encode(),
+                                         np.uint8)
+    np.savez(out_path, **flat)
+    return out_path
 
 
 # ----------------------------------------------------------------- session
@@ -381,3 +440,47 @@ class InferenceSession:
         self.decode(out["pose"])
         self.reconstruct(x)
         return self
+
+
+class AotSession(InferenceSession):
+    """Model-code-free serving over an :func:`export_aot` artifact.
+
+    Deserializes the StableHLO serving programs and the weights from one
+    .npz — no flax modules, no LieVAE construction, no model flags, no
+    tracing at serving time (the programs were traced at export). Same
+    public surface as :class:`InferenceSession` (encode / decode /
+    reconstruct / sample / geodesic / warmup), single-device (the mesh
+    path stays on the live session).
+    """
+
+    def __init__(self, path, seed=0):
+        import json
+        import types
+
+        from jax import export as jexport
+
+        with np.load(path) as z:
+            flat = {k: z[k] for k in z.files}
+        meta = json.loads(bytes(flat.pop("__aot_meta__")).decode())
+        blobs = {name: bytes(flat.pop(f"__aot_{name}__"))
+                 for name in ("encode", "decode", "reconstruct")}
+        flat.pop("__step__", None)
+        self.params = _unflatten(flat, "params")
+        self.batch_stats = _unflatten(flat, "batch_stats")
+        self._has_bn = bool(jax.tree_util.tree_leaves(self.batch_stats))
+        self.mesh = None
+        self.batch_size = int(meta["batch_size"])
+        self._key = jax.random.PRNGKey(seed)
+        self.model = types.SimpleNamespace(
+            latent_mode=meta["latent_mode"],
+            normal_dims=int(meta["normal_dims"]),
+            out_shape=tuple(meta["out_shape"]))
+        self.meta = meta
+        # jit the deserialized calls so repeat dispatches reuse the
+        # executable instead of re-staging the exported module
+        calls = {name: jax.jit(jexport.deserialize(blob).call)
+                 for name, blob in blobs.items()}
+        self.pure_fns = calls
+        self._encode_jit = calls["encode"]
+        self._decode_jit = calls["decode"]
+        self._recon_jit = calls["reconstruct"]

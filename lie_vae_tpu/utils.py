@@ -48,6 +48,22 @@ def enable_compilation_cache(cache_dir=None, max_size=8 << 30):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_compilation_cache_max_size", max_size)
+    # Entries written while the cache ran unbounded have no '-atime'
+    # sentinel; jax's LRU eviction scan reads every entry's atime file and
+    # a missing one raises, aborting every NEW cache write (lru_cache.py
+    # _evict_if_needed). Backfill sentinels so mixed-era directories keep
+    # accepting entries.
+    import time
+    now = time.time_ns().to_bytes(8, "little")
+    for name in os.listdir(path):
+        if name.endswith("-cache"):
+            atime = os.path.join(path, name[:-len("-cache")] + "-atime")
+            if not os.path.exists(atime):
+                try:
+                    with open(atime, "wb") as f:
+                        f.write(now)
+                except OSError:      # concurrent eviction/cleanup: benign
+                    pass
     return path
 
 

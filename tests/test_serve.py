@@ -354,3 +354,53 @@ def test_cli_checkpoint_matches_artifact(tmp_path):
     a = S.from_checkpoint(ckpt, model, batch_size=4).encode(x)["pose"]
     b = S.from_npz(art, model, batch_size=4).encode(x)["pose"]
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+# ------------------------------------------------------------- AOT serving
+
+def test_aot_artifact_matches_live_session(tmp_path):
+    """export_aot -> AotSession reproduces the live session bit-for-bit
+    on every surface (encode/decode/reconstruct/sample/geodesic), with
+    no model construction at load time."""
+    from lie_vae_tpu.cli import main as cli
+    from lie_vae_tpu.cli import serve as serve_cli
+    from lie_vae_tpu.serve import AotSession, export_aot
+
+    model, params, bn, ckpt = _cli_checkpoint(tmp_path)
+    art = str(tmp_path / "artifact_aot.npz")
+    export_aot(ckpt, model, art, batch_size=4)
+
+    live = InferenceSession(model, params, bn, batch_size=4, seed=7)
+    aot = AotSession(art, seed=7)
+    assert aot.meta["platforms"] == ["tpu", "cpu"]
+    assert aot.model.latent_mode == model.latent_mode
+    assert aot.model.out_shape == tuple(model.out_shape)
+
+    x = _toy_batch(model, 6)                    # 6 rows -> 2 padded chunks
+    a, b = live.encode(x), aot.encode(x)
+    for k in ("pose", "sigma", "sample"):
+        np.testing.assert_allclose(a[k], b[k], atol=1e-6, err_msg=k)
+    np.testing.assert_allclose(live.decode(a["pose"]),
+                               aot.decode(a["pose"]), atol=1e-6)
+    np.testing.assert_allclose(live.reconstruct(x), aot.reconstruct(x),
+                               atol=1e-6)
+    np.testing.assert_allclose(live.sample(3, seed=5), aot.sample(3, seed=5),
+                               atol=1e-6)
+    np.testing.assert_allclose(
+        live.geodesic(a["pose"][0], a["pose"][1], steps=4),
+        aot.geodesic(a["pose"][0], a["pose"][1], steps=4), atol=1e-6)
+
+
+def test_aot_cli_end_to_end(tmp_path):
+    """serve export --aot then serve sample --aot WITHOUT model flags."""
+    from lie_vae_tpu.cli import serve as serve_cli
+
+    model, params, bn, ckpt = _cli_checkpoint(tmp_path)
+    art = serve_cli.main(["export", "--checkpoint", ckpt, "--aot",
+                          "--aot_batch", "4",
+                          "--out", str(tmp_path / "a.npz")] + MODEL_FLAGS)
+    out_s = str(tmp_path / "samples.npz")
+    serve_cli.main(["sample", "--aot", art, "-n", "3", "--out", out_s])
+    imgs = np.load(out_s)["images"]
+    assert imgs.shape == (3,) + tuple(model.out_shape)
+    assert np.isfinite(imgs).all()

@@ -41,9 +41,14 @@ def test_enable_compilation_cache(tmp_path, monkeypatch):
 
     old = jax.config.jax_compilation_cache_dir
     try:
+        # a pre-existing unbounded-era entry must gain an -atime sentinel
+        # (missing ones abort every new write once LRU eviction is on)
+        os.makedirs(tmp_path / "c", exist_ok=True)
+        (tmp_path / "c" / "jit_f-abc-cache").write_bytes(b"x")
         p = enable_compilation_cache(str(tmp_path / "c"))
         assert os.path.isdir(p)
         assert jax.config.jax_compilation_cache_dir == p
+        assert os.path.exists(tmp_path / "c" / "jit_f-abc-atime")
         # opt-out env var disables without touching the config
         monkeypatch.setenv("LIE_VAE_TPU_NO_COMPILE_CACHE", "1")
         assert enable_compilation_cache(str(tmp_path / "d")) is None
