@@ -404,3 +404,31 @@ def test_aot_cli_end_to_end(tmp_path):
     imgs = np.load(out_s)["images"]
     assert imgs.shape == (3,) + tuple(model.out_shape)
     assert np.isfinite(imgs).all()
+
+
+def test_aot_conv_bn_model(tmp_path):
+    """AOT round trip for the image path: conv encoder + BatchNorm stats
+    ride the artifact and the deserialized programs use them."""
+    from lie_vae_tpu.serve import AotSession, export_aot
+    from lie_vae_tpu.train.checkpoint import save_state
+    from lie_vae_tpu.train.state import TrainState, make_optimizer
+
+    model = LieVAE(latent_mode="so3", decoder_mode="action",
+                   mean_mode="s2s2", encode_mode="conv",
+                   deconv_mode="deconv", degrees=2, rep_copies=2,
+                   deconv_hidden=8, conv_hidden=8, rgb=True,
+                   batch_norm=True)
+    x = np.random.default_rng(0).random((4, 64, 64, 3)).astype(np.float32)
+    params, bn = _init(model, x)
+    assert jax.tree_util.tree_leaves(bn), "BN stats expected"
+    ckpt = str(tmp_path / "checkpoint")
+    save_state(ckpt, TrainState.create(params, bn, make_optimizer()))
+
+    art = str(tmp_path / "aot.npz")
+    export_aot(ckpt, model, art, batch_size=4)
+    live = InferenceSession(model, params, bn, batch_size=4, seed=3)
+    aot = AotSession(art, seed=3)
+    np.testing.assert_allclose(live.encode(x)["pose"],
+                               aot.encode(x)["pose"], atol=1e-6)
+    np.testing.assert_allclose(live.reconstruct(x), aot.reconstruct(x),
+                               atol=1e-6)
