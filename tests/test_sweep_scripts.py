@@ -139,6 +139,7 @@ def test_r2_driver_scripts_import_and_parse():
         ("scripts.bench_reference_torch", True),
         ("scripts.run_degree_sweep", True),
         ("scripts.run_seed_study", True),
+        ("scripts.run_beta_sweep", True),
         ("scripts.eval_checkpoint", True),
         ("bench", True),
     ]:
@@ -156,3 +157,24 @@ def test_r2_driver_scripts_import_and_parse():
     assert "conv encoder" in categorize(
         "%fusion.2 = bf16[x] fusion(bf16[4,4,3,50] %w)")
     assert categorize("%while.6 = (s32[]) while(...)") == "loop / control"
+
+
+def test_beta_sweep_merge(tmp_path):
+    from scripts import run_beta_sweep as rbs
+
+    out = str(tmp_path / "B.md")
+    args = types.SimpleNamespace(out=out, data_dir="data/x", epochs=400,
+                                 max_early_stop=50,
+                                 compute_dtype="bfloat16")
+    rbs.write_table({"beta05": {"best_recon": 65.2, "ll": -71.5},
+                     "ctrl14": {"best_recon": 85.0, "ll": -86.7}}, args)
+    doc = open(out).read()
+    assert "| beta = 0.5 | 65.20 | -71.5 |" in doc
+    assert "| KL controller, target 14 (the natural KL) | 85.00 | -86.7 |" \
+        in doc
+    # partial rerun preserves old rows
+    rbs.write_table({"beta1": {"best_recon": 75.0, "ll": None}}, args)
+    doc2 = open(out).read()
+    assert "| beta = 0.5 | 65.20 | -71.5 |" in doc2
+    assert "| beta = 1 (reference default) | 75.00 | — |" in doc2
+    assert doc2.count(rbs.BEGIN) == 1
