@@ -31,20 +31,18 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main(argv=None):
+def evaluate(args, density_k=(10,), ll_n=500, max_items=None):
+    """Best-checkpoint eval for run `args.name` (parsed CLI model flags).
+
+    Returns {"sigma": {mean, median, max} or None,
+             "ll": {k: best-checkpoint IW-LL at that shell count}}.
+    """
     from lie_vae_tpu.cli import main as cli
     from lie_vae_tpu.data.splits import random_split
     from lie_vae_tpu.train.checkpoint import restore_state
     from lie_vae_tpu.train.loop import UnsupervisedExperiment
     from lie_vae_tpu.train.schedules import ConstantSchedule
 
-    outer = argparse.ArgumentParser("eval_checkpoint")
-    outer.add_argument("--density_k", type=int, nargs="+", default=[10])
-    outer.add_argument("--ll_n", type=int, default=500)
-    outer.add_argument("--max_items", type=int, default=None)
-    outer_args, rest = outer.parse_known_args(argv)
-
-    args = cli.parse_args(rest)
     assert args.name, "--name selects outputs/<name>/checkpoint"
     dataset, batch_size, item_rep = cli.build_dataset(args)
     model = cli.build_model(args, dataset, item_rep)
@@ -60,6 +58,7 @@ def main(argv=None):
         log=None)
     exp.state = restore_state(os.path.join("outputs", args.name, "checkpoint"),
                               exp.state)
+    out = {"sigma": None, "ll": {}}
 
     # posterior sigma stats on one test batch (drift diagnostic; the
     # algebra-noise sigma only exists for the SO(3) pushforward latent)
@@ -79,18 +78,36 @@ def main(argv=None):
 
         mean_s, max_s, med_s = sigma_stats(exp.state.params,
                                            exp.state.batch_stats, x)
+        out["sigma"] = {"mean": float(mean_s), "median": float(med_s),
+                        "max": float(max_s)}
         print(f"posterior sigma on {x.shape[0]} test items: "
               f"mean {float(mean_s):.4f}  median {float(med_s):.4f}  "
               f"max {float(max_s):.4f}")
 
-    for k in outer_args.density_k:
+    for k in density_k:
         exp.model = model.clone(density_k=k)
         exp._ll_jit_cache = {}        # ll_fn closes over exp.model
-        ll = exp.log_likelihood(test_dataset, n=outer_args.ll_n,
-                                max_items=outer_args.max_items,
+        ll = exp.log_likelihood(test_dataset, n=ll_n,
+                                max_items=max_items,
                                 batch_size=args.ll_batch,
                                 n_chunk=args.ll_chunk)
-        print(f"IW-LL (n={outer_args.ll_n}, density_k={k}): {ll:.2f}")
+        out["ll"][k] = float(ll)
+        print(f"IW-LL (n={ll_n}, density_k={k}): {ll:.2f}")
+    return out
+
+
+def main(argv=None):
+    from lie_vae_tpu.cli import main as cli
+
+    outer = argparse.ArgumentParser("eval_checkpoint")
+    outer.add_argument("--density_k", type=int, nargs="+", default=[10])
+    outer.add_argument("--ll_n", type=int, default=500)
+    outer.add_argument("--max_items", type=int, default=None)
+    outer_args, rest = outer.parse_known_args(argv)
+
+    args = cli.parse_args(rest)
+    evaluate(args, density_k=outer_args.density_k, ll_n=outer_args.ll_n,
+             max_items=outer_args.max_items)
 
 
 if __name__ == "__main__":

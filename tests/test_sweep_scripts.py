@@ -140,6 +140,7 @@ def test_r2_driver_scripts_import_and_parse():
         ("scripts.run_degree_sweep", True),
         ("scripts.run_seed_study", True),
         ("scripts.run_beta_sweep", True),
+        ("scripts.run_beta_seed_confirm", True),
         ("scripts.eval_checkpoint", True),
         ("bench", True),
     ]:
@@ -157,6 +158,44 @@ def test_r2_driver_scripts_import_and_parse():
     assert "conv encoder" in categorize(
         "%fusion.2 = bf16[x] fusion(bf16[4,4,3,50] %w)")
     assert categorize("%while.6 = (s32[]) while(...)") == "loop / control"
+
+
+def test_beta_seed_confirm_merge(tmp_path):
+    from scripts import run_beta_seed_confirm as rbc
+
+    out = str(tmp_path / "B.md")
+    args = types.SimpleNamespace(out=out, data_dir="data/x", epochs=400,
+                                 max_early_stop=50,
+                                 compute_dtype="bfloat16",
+                                 density_k=[10, 30])
+    res = {
+        ("beta05", 0): {"best_recon": 64.5, "final_ll": -71.5,
+                        "best_ll": {10: -71.67, 30: -71.67},
+                        "sigma_max": 0.021},
+        ("beta05", 1): {"best_recon": 66.0, "final_ll": -73.0,
+                        "best_ll": {10: -72.5, 30: -72.6},
+                        "sigma_max": 0.030},
+        ("beta1", 0): {"best_recon": 75.0, "final_ll": -80.1,
+                       "best_ll": {10: -77.93, 30: -77.93},
+                       "sigma_max": 0.027},
+    }
+    rbc.write_table(res, args)
+    doc = open(out).read()
+    assert "| β=0.5, seed 0 | 64.50 | -71.5 | -71.67 | -71.67 | 0.021 |" \
+        in doc
+    assert "**-72.09 ± 0.59**" in doc          # beta05 k=10 mean ± std
+    assert "| β=1, seed 0 | 75.00 | -80.1 | -77.93 | -77.93 | 0.027 |" in doc
+    # single beta1 seed -> no beta1 summary row
+    assert "β=1 mean" not in doc
+    # partial rerun preserves previously-written rows
+    rbc.write_table({("beta1", 1): {"best_recon": 74.0, "final_ll": None,
+                                    "best_ll": {10: -78.5, 30: -78.5},
+                                    "sigma_max": None}}, args)
+    doc2 = open(out).read()
+    assert "| β=0.5, seed 0 | 64.50 | -71.5 | -71.67 | -71.67 | 0.021 |" \
+        in doc2
+    assert "| β=1, seed 1 | 74.00 | — | -78.50 | -78.50 | — |" in doc2
+    assert doc2.count(rbc.BEGIN) == 1
 
 
 def test_beta_sweep_merge(tmp_path):
