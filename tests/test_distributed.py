@@ -31,7 +31,7 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def _run_workers(num_processes, local_devices, tmp_path, timeout=600):
+def _run_workers(num_processes, local_devices, tmp_path, timeout=1200):
     port = _free_port()
     env = dict(os.environ)
     # the worker sets its own device count; drop the conftest's 8-device
