@@ -13,6 +13,9 @@ with the same architecture the checkpoint was trained with):
   sample      decode n Haar-random prior poses -> .npz (and .png grid)
   trajectory  decode a latent geodesic between two encoded/random poses
   bench       serving latency/throughput on the current backend (JSON)
+  http        network serving: HTTP endpoint over the compiled session
+              (npz + JSON bodies; /v1/encode|decode|reconstruct|sample|
+              geodesic, GET /healthz; lie_vae_tpu.serve_http)
 
 Examples::
 
@@ -361,8 +364,28 @@ def cmd_bench(argv):
     return result
 
 
+def cmd_http(argv):
+    """Network serving: HTTP endpoint over the pre-compiled session
+    (lie_vae_tpu.serve_http — npz + JSON wire formats, /v1/encode|decode|
+    reconstruct|sample|geodesic, GET /healthz)."""
+    from lie_vae_tpu import serve_http
+
+    p = argparse.ArgumentParser("serve http")
+    _add_session_flags(p)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8310)
+    p.add_argument("--no_warmup", action="store_true",
+                   help="skip pre-compiling the serving surface at startup "
+                        "(first requests pay the compile)")
+    opts, rest = p.parse_known_args(argv)
+    sess = _session(opts, rest)
+    return serve_http.serve(sess, host=opts.host, port=opts.port,
+                            warmup=not opts.no_warmup)
+
+
 COMMANDS = {"export": cmd_export, "sample": cmd_sample,
-            "trajectory": cmd_trajectory, "bench": cmd_bench}
+            "trajectory": cmd_trajectory, "bench": cmd_bench,
+            "http": cmd_http}
 
 
 def main(argv=None):
