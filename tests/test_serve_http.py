@@ -181,3 +181,40 @@ def test_concurrent_requests(server):
     assert not errors
     for r in results:
         np.testing.assert_array_equal(r, expected)
+
+
+def test_client_library(server):
+    """ServingClient round-trips every route against the live server and
+    matches the in-process session numerically."""
+    from lie_vae_tpu.serve_client import ServingClient, ServingClientError
+
+    model, sess, base = server
+    c = ServingClient(base)
+
+    health = c.health()
+    assert health["status"] == "ok"
+    assert "encode" in health["routes"]
+
+    x = _toy_batch(model, 4)
+    out = c.encode(x)
+    ref = sess.encode(x)
+    np.testing.assert_array_equal(out["pose"], ref["pose"])
+    np.testing.assert_array_equal(out["sigma"], ref["sigma"])
+
+    imgs = c.decode(out["pose"])
+    np.testing.assert_array_equal(imgs, sess.decode(ref["pose"]))
+    np.testing.assert_array_equal(c.reconstruct(x), sess.reconstruct(x))
+
+    s = c.sample(3, seed=7)
+    assert s.shape == (3, *model.out_shape)
+    np.testing.assert_array_equal(s, sess.sample(3, seed=7))
+
+    frames = c.geodesic(out["pose"][0], out["pose"][1], steps=5)
+    assert frames.shape == (5, *model.out_shape)
+
+    # error contract: server message surfaces with the status code
+    with pytest.raises(ServingClientError) as exc:
+        c.sample(0)
+    assert exc.value.status == 400 and "out of range" in exc.value.message
+    with pytest.raises(ServingClientError):
+        c._post("nonsense", {})
