@@ -20,9 +20,20 @@ lie_learn's quaternion->matrix change_coordinates from the repo's own
 loader math (pinned against the reference convention by
 tests/test_data.py), and hyperspherical_vae with an inert import stub.
 
+Round 3 adds a CONVERGED mode (VERDICT r2 next-step #3): `--converged`
+trains config 4 with the reference's actual epoch loop — per-epoch valid
+recon, best-checkpoint tracking, early stop after --early_stop stale
+epochs (reference main.py:117-131 semantics) — then computes the final
+n=500 importance-weighted LL (main.py:134-143; restricted to --ll_items
+valid items in split order because this host is a single CPU core).
+This closes BASELINE.md's "ELBO + recon MSE parity vs the PyTorch
+reference" row at convergence rather than 600-step smoke scale.
+
 Usage:
   python scripts/bench_reference_torch.py                    # 5-config steps/s
   python scripts/bench_reference_torch.py --configs 4 --train_steps 600
+  python scripts/bench_reference_torch.py --configs 4 --converged \
+      --epochs 300 --early_stop 50 --ll_samples 500
 """
 import argparse
 import json
@@ -187,6 +198,57 @@ def iw_ll(torch, model, valid, n_items, n_samples):
     return float(np.mean(vals))
 
 
+def converged_run(torch, model, train, valid, batch_size, beta, prep,
+                  args):
+    """Reference epoch loop to early stop (main.py:117-131): eval once per
+    epoch, keep the best-valid-recon state_dict, stop after --early_stop
+    epochs without improvement, then the final n=500 IW-LL
+    (main.py:134-143) on both the FINAL model (reference protocol) and the
+    BEST checkpoint (what our framework's eval_checkpoint.py re-evaluates),
+    on the first --ll_items valid items in split order."""
+    import copy
+
+    optimizer = torch.optim.Adam(model.parameters(), lr=1e-3)
+    model.r_callback = None
+    dl = loader(torch, train, batch_size, True)
+    steps_per_epoch = len(dl)
+    best = {"recon": float("inf"), "epoch": -1, "state": None}
+    curve, stale, step = [], 0, 0
+    t0 = time.perf_counter()
+    for epoch in range(args.epochs):
+        for batch in dl:
+            train_step(torch, model, optimizer, batch, beta, prep, it=step)
+            step += 1
+        v = eval_recon(torch, model, valid, batch_size, prep)
+        curve.append({"epoch": epoch, "step": step,
+                      "valid_recon": round(v, 2)})
+        if v < best["recon"]:
+            best.update(recon=v, epoch=epoch,
+                        state=copy.deepcopy(model.state_dict()))
+            stale = 0
+        else:
+            stale += 1
+        print(json.dumps({**curve[-1], "stale": stale,
+                          "wall_s": round(time.perf_counter() - t0, 1)}),
+              flush=True)
+        if stale > args.early_stop:
+            break
+    wall = time.perf_counter() - t0
+    ll_final = iw_ll(torch, model, valid, args.ll_items, args.ll_samples)
+    model.load_state_dict(best["state"])
+    ll_best = iw_ll(torch, model, valid, args.ll_items, args.ll_samples)
+    return {"config": "4-spherecube-so3-action (torch reference, converged)",
+            "steps": step, "epochs": len(curve),
+            "steps_per_epoch": steps_per_epoch,
+            "best_valid_recon": round(best["recon"], 2),
+            "best_epoch": best["epoch"],
+            "final_valid_recon": curve[-1]["valid_recon"],
+            "iw_ll_final": round(ll_final, 2),
+            "iw_ll_best_ckpt": round(ll_best, 2),
+            "ll_items": args.ll_items, "ll_samples": args.ll_samples,
+            "train_wall_s": round(wall, 1), "curve": curve}
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--configs", nargs="*",
@@ -195,6 +257,10 @@ def main(argv=None):
     p.add_argument("--warmup_steps", type=int, default=3)
     p.add_argument("--train_steps", type=int, default=0,
                    help="extended training for pixel-parity evidence")
+    p.add_argument("--converged", action="store_true",
+                   help="config-4 epoch loop to early stop + n=500 IW-LL")
+    p.add_argument("--epochs", type=int, default=300)
+    p.add_argument("--early_stop", type=int, default=50)
     p.add_argument("--eval_every", type=int, default=100)
     p.add_argument("--ll_items", type=int, default=32)
     p.add_argument("--ll_samples", type=int, default=100)
@@ -224,6 +290,17 @@ def main(argv=None):
     for key in args.configs:
         name = names[key]
         model, train, valid, batch_size, beta = build(name, torch)
+        if args.converged:
+            assert key == "4", "--converged is the config-4 protocol"
+            prep = getattr(train, "prep_batch",
+                           getattr(train.dataset, "prep_batch",
+                                   lambda b: b)) \
+                if hasattr(train, "dataset") else train.prep_batch
+            res = converged_run(torch, model, train, valid, batch_size,
+                                beta, prep, args)
+            print(json.dumps(res), flush=True)
+            results[name] = res
+            continue
         prep = getattr(train, "prep_batch",
                        getattr(train.dataset, "prep_batch", lambda b: b)) \
             if hasattr(train, "dataset") else train.prep_batch
