@@ -4,8 +4,12 @@ The reference has no serving story (its post-training inference is
 notebook code at batch size 1, toy_results.ipynb / main.py:134-143);
 this framework serves over HTTP (`python -m lie_vae_tpu.cli.serve http`)
 and this module is the matching client — stdlib-only (urllib), speaking
-the production ``.npz`` wire format (zero-copy numpy both ways), so a
-remote TPU serving host is usable from any Python process with numpy:
+the production ``.npz`` wire format (a compact binary numpy encoding —
+far cheaper than JSON lists, though np.savez/np.load do serialize
+through an in-memory zip), so a remote TPU serving host is usable from
+any Python process with numpy. ``import lie_vae_tpu.serve_client`` needs
+only numpy (the package __init__ degrades gracefully without jax), and
+this single self-contained file can also be vendored outright:
 
     from lie_vae_tpu.serve_client import ServingClient
     c = ServingClient("http://tpu-host:8310")
@@ -65,7 +69,14 @@ class ServingClient:
         req = urllib.request.Request(
             f"{self.base_url}/v1/{route}", data=buf.getvalue(),
             headers={"Content-Type": "application/x-npz"})
-        body, _ = self._request(req)
+        body, ctype = self._request(req)
+        if "x-npz" not in ctype:
+            # a 200 with a non-npz body (e.g. an HTML page injected by a
+            # proxy) would otherwise surface as an opaque np.load zip error
+            raise ServingClientError(
+                200, f"expected an application/x-npz response, got "
+                f"{ctype or 'no Content-Type'}: "
+                f"{body[:200].decode(errors='replace')!r}")
         with np.load(io.BytesIO(body)) as z:
             return {k: z[k] for k in z.files}
 

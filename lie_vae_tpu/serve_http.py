@@ -7,7 +7,7 @@ core, and this module puts a network endpoint in front of it:
 
 - stdlib-only (``http.server``): no framework dependency to deploy;
 - two wire formats, negotiated by Content-Type: ``.npz`` bodies for
-  production clients (zero-copy numpy both ways) and JSON (nested lists)
+  production clients (compact binary numpy, no JSON overhead) and JSON (nested lists)
   for curl/debug traffic — responses mirror the request format;
 - device work is serialized behind one lock (the chip is effectively
   single-client; the session's padded-chunk pipelining still applies

@@ -1,9 +1,11 @@
 """Small shared utilities (reference: lie_vae/utils.py and
 lie_vae/experiments/utils.py helpers that aren't covered elsewhere —
-Subset/random_split live in data.splits, schedules in train.schedules)."""
-import os
+Subset/random_split live in data.splits, schedules in train.schedules).
 
-import jax.numpy as jnp
+Import-light on purpose: jax is imported lazily inside each function so
+that ``import lie_vae_tpu`` (and thus ``lie_vae_tpu.serve_client``) works
+on hosts without jax installed (e.g. a numpy-only serving client)."""
+import os
 
 
 def enable_compilation_cache(cache_dir=None, max_size=8 << 30):
@@ -32,9 +34,14 @@ def enable_compilation_cache(cache_dir=None, max_size=8 << 30):
     ``cache_dir`` is passed. Returns the cache path, or None when
     disabled. Safe under concurrent processes (atomic entry writes) and
     across version changes (the JAX cache key includes jax/backend
-    versions and compile options).
+    versions and compile options). A no-op (returns None) when jax is
+    not installed — the package stays importable on jax-less client
+    hosts (ADVICE r2: serve_client must not require jax).
     """
-    import jax
+    try:
+        import jax
+    except ImportError:
+        return None
 
     if os.environ.get("LIE_VAE_TPU_NO_COMPILE_CACHE") == "1":
         return None
@@ -74,6 +81,7 @@ def logsumexp(x, axis=None, keepdims=False):
     jax.nn.logsumexp directly.
     """
     import jax
+    import jax.numpy as jnp
 
     if axis is None:
         x = jnp.reshape(x, (-1,))
@@ -84,6 +92,8 @@ def logsumexp(x, axis=None, keepdims=False):
 def expand_dim(x, n, axis=0):
     """Insert a broadcast axis of size n (reference:
     experiments/utils.py:82-85)."""
+    import jax.numpy as jnp
+
     return jnp.broadcast_to(
         jnp.expand_dims(x, axis),
         x.shape[:axis % (x.ndim + 1)] + (n,) + x.shape[axis % (x.ndim + 1):])

@@ -55,3 +55,26 @@ def test_enable_compilation_cache(tmp_path, monkeypatch):
         assert jax.config.jax_compilation_cache_dir == p
     finally:
         jax.config.update("jax_compilation_cache_dir", old)
+
+
+def test_serve_client_importable_without_jax():
+    """ADVICE r2: the serving client must work from a numpy-only host —
+    importing lie_vae_tpu.serve_client (which runs the package __init__)
+    must not require jax. Verified in a subprocess with jax blocked."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys\n"
+        "class B:\n"
+        "    def find_module(self, n, p=None):\n"
+        "        return self if n == 'jax' or n.startswith('jax.') else None\n"
+        "    def load_module(self, n):\n"
+        "        raise ImportError('blocked: ' + n)\n"
+        "sys.meta_path.insert(0, B())\n"
+        "from lie_vae_tpu.serve_client import ServingClient\n"
+        "print(ServingClient('http://h:1').base_url)\n")
+    out = subprocess.run([sys.executable, "-c", code],
+                         capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.strip() == "http://h:1"
