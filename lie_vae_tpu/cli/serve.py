@@ -87,10 +87,18 @@ def _session(opts, rest):
     from lie_vae_tpu.serve import AotSession, InferenceSession
 
     if getattr(opts, "aot", None):
-        if opts.data_devices:
-            raise SystemExit("--aot serving is single-device (the mesh "
-                             "path needs the live session)")
-        return AotSession(opts.aot, seed=opts.seed)
+        # mesh sharding is baked into the artifact at export time
+        # (export --aot --aot_data_devices N); --data_devices here only
+        # cross-checks the expectation against what the artifact records
+        sess = AotSession(opts.aot, seed=opts.seed)
+        recorded = int(sess.meta.get("data_devices", 1))
+        if opts.data_devices and opts.data_devices != recorded:
+            raise SystemExit(
+                f"--data_devices {opts.data_devices} does not match the "
+                f"AOT artifact (exported for {recorded} device(s) on the "
+                "'data' axis); re-export with --aot_data_devices "
+                f"{opts.data_devices}")
+        return sess
     args = cli.parse_args(rest)
     model = _build_model(args)
     mesh = None
@@ -175,6 +183,11 @@ def cmd_export(argv):
                         "the run's model flags after it")
     p.add_argument("--aot_batch", type=int, default=64,
                    help="fixed batch size baked into the AOT programs")
+    p.add_argument("--aot_data_devices", type=int, default=0,
+                   help="export the AOT programs SPMD-sharded over this "
+                        "many devices ('data' mesh axis; the batch must "
+                        "divide evenly); serving then requires the same "
+                        "device count. 0 = single-device programs")
     p.add_argument("--out", help="output .npz (default <run>/artifact.npz)")
     opts, rest = p.parse_known_args(argv)
     if opts.torch:
@@ -210,8 +223,12 @@ def cmd_export(argv):
         from lie_vae_tpu.serve import export_aot
         out = opts.out or os.path.join(os.path.dirname(ckpt.rstrip("/")),
                                        "artifact_aot.npz")
+        mesh = None
+        if opts.aot_data_devices:
+            from lie_vae_tpu.parallel import make_mesh
+            mesh = make_mesh(n_data=opts.aot_data_devices, n_model=1)
         export_aot(ckpt, _build_model(cli.parse_args(rest)), out,
-                   batch_size=opts.aot_batch)
+                   batch_size=opts.aot_batch, mesh=mesh)
         print(f"wrote {out} ({os.path.getsize(out) / 1e6:.1f} MB)")
         return out
     out = opts.out or os.path.join(os.path.dirname(ckpt.rstrip("/")),

@@ -132,7 +132,7 @@ def load_npz(path):
 # --------------------------------------------------------------- AOT export
 
 def export_aot(checkpoint_path, model, out_path, batch_size=64,
-               platforms=("tpu", "cpu")):
+               platforms=("tpu", "cpu"), mesh=None):
     """Ahead-of-time serving artifact: weights + the three serving
     programs (encode / decode / reconstruct) serialized as version-stable
     StableHLO via ``jax.export`` — loadable and runnable WITHOUT the
@@ -148,6 +148,15 @@ def export_aot(checkpoint_path, model, out_path, batch_size=64,
     ``platforms``: lowering targets recorded in the artifact (default
     TPU + CPU — one artifact serves both; the export itself can run on
     either platform).
+
+    ``mesh``: optional ``('data', 'model')`` mesh — the exported programs
+    are then SPMD over the mesh's ``data`` axis (params replicated, each
+    compiled batch split across devices; jax.export records the GSPMD
+    shardings in the StableHLO). The artifact must then be served on the
+    SAME device count (``AotSession`` rebuilds the mesh from the
+    artifact's recorded ``data_devices``); exporting on N virtual CPU
+    devices and serving on an N-chip TPU slice is supported —
+    jax.export shardings are device-count-, not platform-, specific.
     """
     import json
 
@@ -155,7 +164,7 @@ def export_aot(checkpoint_path, model, out_path, batch_size=64,
 
     params, batch_stats, _ = load_checkpoint_arrays(checkpoint_path)
     sess = InferenceSession(model, params, batch_stats,
-                            batch_size=batch_size)
+                            batch_size=batch_size, mesh=mesh)
     b = int(batch_size)
     pose_dims = {"so3": (3, 3), "normal": (model.normal_dims,),
                  "vmf": (4,), "vmfq": (4,)}[model.latent_mode]
@@ -172,14 +181,22 @@ def export_aot(checkpoint_path, model, out_path, batch_size=64,
     specs = {"encode": (p_s, bs_s, x_s, key_s),
              "decode": (p_s, bs_s, z_s),
              "reconstruct": (p_s, bs_s, x_s, key_s)}
+    # export the session's OWN jitted callables: with a mesh they carry
+    # the replicated/batch-sharded in/out shardings, so the exported
+    # StableHLO is the same SPMD program live serving runs
+    jitted = {"encode": sess._encode_jit, "decode": sess._decode_jit,
+              "reconstruct": sess._recon_jit}
     for name, args in specs.items():
-        exp = jexport.export(jax.jit(sess.pure_fns[name]),
+        exp = jexport.export(jitted[name],
                              platforms=list(platforms))(*args)
         flat[f"__aot_{name}__"] = np.frombuffer(exp.serialize(), np.uint8)
+    n_data = (dict(zip(mesh.axis_names, mesh.devices.shape))["data"]
+              if mesh is not None else 1)
     meta = {"latent_mode": model.latent_mode,
             "normal_dims": model.normal_dims,
             "out_shape": list(model.out_shape),
             "batch_size": b, "platforms": list(platforms),
+            "data_devices": n_data,
             "jax_version": jax.__version__}
     flat["__aot_meta__"] = np.frombuffer(json.dumps(meta).encode(),
                                          np.uint8)
@@ -449,8 +466,11 @@ class AotSession(InferenceSession):
     .npz — no flax modules, no LieVAE construction, no model flags, no
     tracing at serving time (the programs were traced at export). Same
     public surface as :class:`InferenceSession` (encode / decode /
-    reconstruct / sample / geodesic / warmup), single-device (the mesh
-    path stays on the live session).
+    reconstruct / sample / geodesic / warmup). Artifacts exported with a
+    mesh (``export_aot(..., mesh=...)``) serve mesh-sharded: the session
+    rebuilds a ``data`` mesh over the artifact's recorded device count
+    and runs the recorded SPMD programs (params replicated, batches
+    split over ICI) — the host must expose at least that many devices.
     """
 
     def __init__(self, path, seed=0):
@@ -468,7 +488,6 @@ class AotSession(InferenceSession):
         self.params = _unflatten(flat, "params")
         self.batch_stats = _unflatten(flat, "batch_stats")
         self._has_bn = bool(jax.tree_util.tree_leaves(self.batch_stats))
-        self.mesh = None
         self.batch_size = int(meta["batch_size"])
         self._key = jax.random.PRNGKey(seed)
         self.model = types.SimpleNamespace(
@@ -476,9 +495,34 @@ class AotSession(InferenceSession):
             normal_dims=int(meta["normal_dims"]),
             out_shape=tuple(meta["out_shape"]))
         self.meta = meta
+
+        self.mesh = None
+        jit_kwargs = {"encode": {}, "decode": {}, "reconstruct": {}}
+        n_data = int(meta.get("data_devices", 1))
+        if n_data > 1:
+            # mesh-sharded artifact: rebuild the serving mesh at the
+            # exported device count; the deserialized programs carry the
+            # GSPMD shardings, the outer jit places the arguments
+            from lie_vae_tpu.parallel import make_mesh
+            if len(jax.devices()) < n_data:
+                raise RuntimeError(
+                    f"AOT artifact was exported for {n_data} devices on "
+                    f"the 'data' axis, host exposes {len(jax.devices())}")
+            self.mesh = make_mesh(n_data=n_data, n_model=1,
+                                  devices=jax.devices()[:n_data])
+            repl = NamedSharding(self.mesh, P())
+            batched = NamedSharding(self.mesh, P("data"))
+            self.params = jax.device_put(self.params, repl)
+            self.batch_stats = jax.device_put(self.batch_stats, repl)
+            shard4 = dict(in_shardings=(repl, repl, batched, repl),
+                          out_shardings=batched)
+            jit_kwargs = {"encode": shard4, "reconstruct": shard4,
+                          "decode": dict(in_shardings=(repl, repl, batched),
+                                         out_shardings=batched)}
         # jit the deserialized calls so repeat dispatches reuse the
         # executable instead of re-staging the exported module
-        calls = {name: jax.jit(jexport.deserialize(blob).call)
+        calls = {name: jax.jit(jexport.deserialize(blob).call,
+                               **jit_kwargs[name])
                  for name, blob in blobs.items()}
         self.pure_fns = calls
         self._encode_jit = calls["encode"]

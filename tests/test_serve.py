@@ -432,3 +432,68 @@ def test_aot_conv_bn_model(tmp_path):
                                aot.encode(x)["pose"], atol=1e-6)
     np.testing.assert_allclose(live.reconstruct(x), aot.reconstruct(x),
                                atol=1e-6)
+
+
+def test_aot_mesh_sharded_serving(tmp_path):
+    """VERDICT r2 next-step #4: mesh-composable AOT serving. Exporting
+    with a ('data', 'model') mesh bakes the SPMD shardings into the
+    StableHLO programs; AotSession rebuilds the mesh from the artifact's
+    recorded device count and must reproduce BOTH the live mesh-sharded
+    session and the single-device session numerically."""
+    from lie_vae_tpu.parallel import make_mesh
+    from lie_vae_tpu.serve import AotSession, export_aot
+    from lie_vae_tpu.train.checkpoint import save_state
+    from lie_vae_tpu.train.state import TrainState, make_optimizer
+
+    model = _toy_model()
+    params, bn = _init(model, _toy_batch(model, 4))
+    ckpt = str(tmp_path / "checkpoint")
+    save_state(ckpt, TrainState.create(params, bn, make_optimizer()))
+
+    mesh = make_mesh(n_data=8)
+    art = str(tmp_path / "aot_mesh.npz")
+    export_aot(ckpt, model, art, batch_size=8, mesh=mesh)
+
+    aot = AotSession(art, seed=7)
+    assert aot.meta["data_devices"] == 8
+    assert aot.mesh is not None and aot.mesh.shape["data"] == 8
+
+    single = InferenceSession(model, params, bn, batch_size=8, seed=7)
+    live_mesh = InferenceSession(model, params, bn, batch_size=8, seed=7,
+                                 mesh=mesh)
+    x = _toy_batch(model, 13)                  # ragged: 2 padded chunks
+    a = single.encode(x)
+    b = live_mesh.encode(x)
+    c = aot.encode(x)
+    for k in ("pose", "sigma", "sample"):
+        np.testing.assert_allclose(c[k], b[k], atol=1e-6, err_msg=k)
+        np.testing.assert_allclose(c[k], a[k], atol=1e-6, err_msg=k)
+    np.testing.assert_allclose(aot.decode(a["pose"]),
+                               single.decode(a["pose"]), atol=1e-5)
+    np.testing.assert_allclose(aot.reconstruct(x), single.reconstruct(x),
+                               atol=1e-5)
+    # the sharded programs really are over the mesh: outputs live on it
+    pose_shard = aot._decode_jit(aot.params, aot.batch_stats,
+                                 jnp.asarray(a["pose"][:8]))
+    assert len(pose_shard.sharding.device_set) == 8
+
+
+def test_aot_mesh_cli_round_trip(tmp_path):
+    """serve export --aot --aot_data_devices N, then serve with --aot
+    (optionally cross-checked by --data_devices N); a mismatched
+    --data_devices must fail loudly."""
+    from lie_vae_tpu.cli import serve as serve_cli
+
+    model, params, bn, ckpt = _cli_checkpoint(tmp_path)
+    art = serve_cli.main(["export", "--checkpoint", ckpt, "--aot",
+                          "--aot_batch", "8", "--aot_data_devices", "4",
+                          "--out", str(tmp_path / "am.npz")] + MODEL_FLAGS)
+    out_s = str(tmp_path / "samples_mesh.npz")
+    serve_cli.main(["sample", "--aot", art, "--data_devices", "4",
+                    "-n", "3", "--out", out_s])
+    imgs = np.load(out_s)["images"]
+    assert imgs.shape == (3,) + tuple(model.out_shape)
+    assert np.isfinite(imgs).all()
+    with pytest.raises(SystemExit, match="does not match"):
+        serve_cli.main(["sample", "--aot", art, "--data_devices", "2",
+                        "-n", "3", "--out", out_s])
