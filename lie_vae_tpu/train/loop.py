@@ -154,8 +154,22 @@ class UnsupervisedExperiment:
         # (uint8 images; e.g. 2048 spherecube images = 25 MB), batches are
         # gathered on-device from index arrays — zero per-step host->chip
         # image traffic. Supports identity and pair-flattening prep_batch.
+        # Multi-host: every process decodes the dataset and replicates it
+        # on its local devices; index batches are then GLOBAL (identical
+        # on every process — same seeded permutation), and the on-device
+        # gather + the 'data' sharding constraint split each batch over
+        # the global mesh with no cross-host image traffic at all.
         self._device_train = self._device_test = None
         if device_data:
+            if n_proc > 1:
+                self._train_idx_loader = BatchLoader(
+                    train_dataset, batch_size, shuffle=True, drop_last=True,
+                    seed=seed)
+                self._test_idx_loader = BatchLoader(
+                    test_dataset, batch_size, shuffle=False, drop_last=False)
+            else:
+                self._train_idx_loader = self.train_loader
+                self._test_idx_loader = self.test_loader
             self._device_train = self._cache_device(train_dataset)
             self._device_test = (self._device_train
                                  if test_dataset is train_dataset
@@ -166,9 +180,12 @@ class UnsupervisedExperiment:
                 self._build_eval_pass(indexed=True))
 
     def _cache_device(self, dataset):
-        """Returns (device_images, rows_per_item)."""
-        assert jax.process_count() == 1, \
-            "device_data is single-host (use the streaming path multi-host)"
+        """Returns (device_images, rows_per_item). Multi-host: every
+        process decodes the full dataset (the persistent disk cache makes
+        repeat startups one bulk read) and replicates it on its local
+        devices — HBM cost is the uint8 dataset per device (32k 64x64 RGB
+        ≈ 400 MB), in exchange for zero per-step host->chip image traffic
+        on every host."""
         warm = getattr(dataset, "warm_cache", None)
         if warm is not None:
             warm()   # bulk-load / create the persistent decode cache
@@ -435,6 +452,12 @@ class UnsupervisedExperiment:
         x = jnp.asarray(x) if jax.process_count() == 1 else np.asarray(x)
         if self.mesh is not None:
             if replicate:
+                if jax.process_count() > 1:
+                    # every process holds the same host value; build the
+                    # fully-replicated global array from local callbacks
+                    return jax.make_array_from_callback(
+                        x.shape, NamedSharding(self.mesh, P()),
+                        lambda idx: x[idx])
                 return jax.device_put(x, NamedSharding(self.mesh, P()))
             spec = [None] * x.ndim
             spec[batch_axis] = "data"
@@ -543,7 +566,7 @@ class UnsupervisedExperiment:
         if self._device_test is not None:
             data, factor = self._device_test
             rows = (self._expand_item_indices(idx, factor)
-                    for idx in self.test_loader._index_batches())
+                    for idx in self._test_idx_loader._index_batches())
             first = self._first_eval_batch(rows)
             # full batches come first, so the first row count is the max
             width = first.shape[0] + (-first.shape[0]) % dsize
@@ -630,10 +653,11 @@ class UnsupervisedExperiment:
                 start = time.time()
 
         if self._device_train is not None:
-            # index-only epoch: batches are gathered on device
+            # index-only epoch: batches are gathered on device; indices
+            # are GLOBAL (multi-host: the same on every process)
             _, factor = self._device_train
-            batches = self.train_loader._index_batches()
-            self.train_loader.epoch += 1
+            batches = self._train_idx_loader._index_batches()
+            self._train_idx_loader.epoch += 1
             group = []
             for it, idx in enumerate(batches):
                 global_it = epoch * num_batches + it + 1

@@ -147,6 +147,26 @@ def main():
         print(f"B={B:6d}: dense {t_xla:7.3f} ms | pallas(b16) {t_pl:7.3f} ms "
               f"| zjz {t_zjz:7.3f} ms | HBM-SoL {sol:7.3f} ms")
 
+    print("== SO(3) rsample path: z = mu @ exp(sigma*eps) ==")
+    # BASELINE.md's "exp-map kernels at HBM roofline" row. This is the
+    # sampling path of SO3Reparameterize (distributions/so3.py:119-133,
+    # reference reparameterize.py:269-273): elementwise scale, the
+    # Rodrigues exp map, and a 3x3 compose. It is measured (rather than
+    # given a Pallas kernel) because it is 0.4% of a training step
+    # (BENCHMARKS whole-step profile) — the table shows the XLA fusion is
+    # already at/near the measured dispatch-floor-dominated bound.
+    for B in (64, 4096, 65536):
+        k1, k2, k3 = jax.random.split(jax.random.fold_in(key, 31 + B), 3)
+        mu = ops.random_group_matrices(k1, B).astype(jnp.float32)
+        sigma = jax.nn.softplus(
+            jax.random.normal(k2, (B, 3), dtype=jnp.float32)) + 0.05
+        eps = jax.random.normal(k3, (B, 3), dtype=jnp.float32)
+        # reads mu 9f + sigma 3f + eps 3f, writes z 9f per row
+        sol = sol_ms(B * (9 + 3 + 3 + 9) * 4)
+        t_xla = timeit(lambda m, s, e: m @ ops.expmap(s * e),
+                       mu, sigma, eps)
+        print(f"B={B:6d}: xla-fused {t_xla:7.3f} ms | HBM-SoL {sol:7.3f} ms")
+
     print("== wrapped log-density (k=10) ==")
     for N in (4096, 65536, 524288):
         k1, k2 = jax.random.split(jax.random.fold_in(key, N))

@@ -1,0 +1,204 @@
+"""CONVERGED reference-vs-framework comparison (VERDICT r2 next-step #3).
+
+BASELINE.md demands "ELBO + recon MSE parity vs the PyTorch reference";
+until r3 the only measured comparison was a 600-step smoke run. This
+driver runs the FRAMEWORK side of the converged protocol — the exact
+experiment `scripts/bench_reference_torch.py --configs 4 --converged`
+runs on the actual reference implementation:
+
+- config 4 (SO(3) latent, s2s2 mean, action decoder, conv+BN, batch 64,
+  Adam 1e-3, grad clip 1e-5, beta 1) on data/spherecube (2048 ray-cast
+  renders) with the SAME seeded split (pinned interchangeable by
+  tests/test_data.py);
+- the reference's epoch loop to early stop (eval once per epoch, best
+  state kept, stop after --early_stop stale epochs, main.py:117-131);
+- final n=500 importance-weighted LL on the first --ll_items valid items
+  in split order (main.py:134-143; restricted item count because the
+  torch side runs on a single CPU core), for BOTH the final model and
+  the best checkpoint.
+
+Writes one JSON line, and (with --torch_json) merges the two sides into
+a BENCHMARKS.md table between `converged-compare` markers.
+
+Run (TPU): python scripts/run_converged_compare.py \
+    [--torch_json /tmp/ref_converged.jsonl]
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+BEGIN = "<!-- converged-compare:begin -->"
+END = "<!-- converged-compare:end -->"
+
+
+def run_framework(args):
+    import jax
+
+    from lie_vae_tpu.data import SphereCubeDataset, random_split
+    from lie_vae_tpu.data.splits import Subset
+    from lie_vae_tpu.models import LieVAE
+    from lie_vae_tpu.train import ConstantSchedule, UnsupervisedExperiment
+
+    ds = SphereCubeDataset(args.data_dir)
+    nv = max(16, len(ds) // 5)
+    valid, _, train = random_split(ds, [nv, nv, len(ds) - 2 * nv])
+
+    model = LieVAE(latent_mode="so3", decoder_mode="action",
+                   mean_mode="s2s2", encode_mode="conv",
+                   deconv_mode="deconv", rgb=True, degrees=6,
+                   rep_copies=10, deconv_hidden=200, batch_norm=True,
+                   compute_dtype=args.compute_dtype)
+    exp = UnsupervisedExperiment(
+        model=model, train_dataset=train, test_dataset=valid,
+        beta_schedule=ConstantSchedule(1.0), batch_size=64,
+        report_freq=10 ** 9, lr=1e-3, clip_grads=1e-5,
+        steps_per_call=args.steps_per_call, device_data=True)
+
+    steps_per_epoch = len(exp.train_loader)
+    best = {"recon": float("inf"), "epoch": -1, "state": None}
+    curve, stale = [], 0
+    import time
+    t0 = time.perf_counter()
+    for epoch in range(args.epochs):
+        exp.train(epoch)            # also evals at the epoch-end report
+        vals = exp.test()
+        v = float(vals[0])
+        curve.append({"epoch": epoch, "step": (epoch + 1) * steps_per_epoch,
+                      "valid_recon": round(v, 2)})
+        if v < best["recon"]:
+            best.update(recon=v, epoch=epoch, state=jax.tree_util.tree_map(
+                np.asarray, {"params": exp.state.params,
+                             "batch_stats": exp.state.batch_stats}))
+            stale = 0
+        else:
+            stale += 1
+        if (epoch + 1) % 10 == 0 or stale > args.early_stop:
+            print(json.dumps({**curve[-1], "stale": stale,
+                              "wall_s": round(time.perf_counter() - t0, 1)}),
+                  flush=True)
+        if stale > args.early_stop:
+            break
+    wall = time.perf_counter() - t0
+
+    ll_subset = Subset(valid, np.arange(args.ll_items))
+    ll_kw = dict(n=args.ll_samples, max_items=args.ll_items,
+                 batch_size=args.ll_batch, n_chunk=args.ll_chunk)
+    ll_final = exp.log_likelihood(ll_subset, **ll_kw)
+    exp.state = exp.state.replace(
+        params=jax.tree_util.tree_map(
+            lambda t, s: s.astype(t.dtype), exp.state.params,
+            best["state"]["params"]),
+        batch_stats=jax.tree_util.tree_map(
+            lambda t, s: s.astype(t.dtype), exp.state.batch_stats,
+            best["state"]["batch_stats"]))
+    ll_best = exp.log_likelihood(ll_subset, **ll_kw)
+    return {"config": "4-spherecube-so3-action (lie_vae_tpu, converged)",
+            "steps": (len(curve)) * steps_per_epoch, "epochs": len(curve),
+            "steps_per_epoch": steps_per_epoch,
+            "best_valid_recon": round(best["recon"], 2),
+            "best_epoch": best["epoch"],
+            "final_valid_recon": curve[-1]["valid_recon"],
+            "iw_ll_final": round(float(ll_final), 2),
+            "iw_ll_best_ckpt": round(float(ll_best), 2),
+            "ll_items": args.ll_items, "ll_samples": args.ll_samples,
+            "train_wall_s": round(wall, 1), "curve": curve}
+
+
+def load_torch_result(path):
+    """Last converged-run JSON line from bench_reference_torch --out."""
+    res = None
+    with open(path) as f:
+        for line in f:
+            try:
+                d = json.loads(line)
+            except ValueError:
+                continue
+            if "converged" in str(d.get("config", "")):
+                res = d
+    return res
+
+
+def write_table(ours, torch_res, args):
+    def row(label, r):
+        return (f"| {label} | {r['epochs']} | {r['steps']} "
+                f"| {r['best_valid_recon']} (ep {r['best_epoch']}) "
+                f"| {r['final_valid_recon']} | {r['iw_ll_best_ckpt']} "
+                f"| {r['iw_ll_final']} | {r['train_wall_s'] / 60:.1f} min |")
+
+    lines = [
+        BEGIN,
+        "### Converged reference comparison (config 4, 2048 ray-cast "
+        "renders)",
+        "",
+        f"Both sides run the reference's exact protocol: epoch loop to "
+        f"early stop ({args.early_stop} stale epochs, cap {args.epochs}), "
+        "best-valid-recon checkpoint kept, then the final importance-"
+        f"weighted LL (n={args.ll_samples}) on the first {args.ll_items} "
+        "validation items in split order — for both the final model and "
+        "the best checkpoint. Same data, same seeded split, same "
+        "batch 64 / Adam 1e-3 / grad-clip 1e-5 / β=1. The reference runs "
+        "the actual PyTorch implementation on this host's CPU "
+        "(`scripts/bench_reference_torch.py --configs 4 --converged`); "
+        "the framework runs bf16-compute on one TPU chip "
+        "(`scripts/run_converged_compare.py`). Init distributions differ "
+        "(torch vs our torch-default-matched flax inits, different RNGs) "
+        "— this compares converged quality, not trajectories.",
+        "",
+        "| implementation | epochs | steps | best valid recon | final "
+        "valid recon | IW-LL (best ckpt) | IW-LL (final) | train wall |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    if torch_res is not None:
+        lines.append(row("PyTorch reference (CPU)", torch_res))
+    lines.append(row("lie_vae_tpu (1 TPU chip)", ours))
+    lines.append(END)
+    block = "\n".join(lines)
+
+    doc = open(args.out).read() if os.path.exists(args.out) else ""
+    if BEGIN in doc and END in doc:
+        pre, rest = doc.split(BEGIN, 1)
+        _, post = rest.split(END, 1)
+        doc = pre + block + post
+    else:
+        doc = doc.rstrip() + "\n\n" + block + "\n"
+    with open(args.out, "w") as f:
+        f.write(doc)
+    print(f"updated {args.out}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data_dir", default="data/spherecube")
+    p.add_argument("--epochs", type=int, default=300)
+    p.add_argument("--early_stop", type=int, default=50)
+    p.add_argument("--ll_items", type=int, default=50)
+    p.add_argument("--ll_samples", type=int, default=500)
+    p.add_argument("--ll_batch", type=int, default=25)
+    p.add_argument("--ll_chunk", type=int, default=50)
+    p.add_argument("--steps_per_call", type=int, default=19)
+    p.add_argument("--compute_dtype", default="bfloat16")
+    p.add_argument("--torch_json", default=None,
+                   help="bench_reference_torch --out file with the "
+                        "converged torch-side result")
+    p.add_argument("--out", default="BENCHMARKS.md")
+    args = p.parse_args(argv)
+
+    ours = run_framework(args)
+    print(json.dumps(ours), flush=True)
+    torch_res = (load_torch_result(args.torch_json)
+                 if args.torch_json and os.path.exists(args.torch_json)
+                 else None)
+    if torch_res is None and args.torch_json:
+        print("NOTE: no converged torch result found yet in "
+              f"{args.torch_json}; table written with the framework row "
+              "only — re-run once the torch side finishes")
+    write_table(ours, torch_res, args)
+
+
+if __name__ == "__main__":
+    main()

@@ -78,6 +78,11 @@ def run_config(name, args):
 
     run_name = (f"matrix-{name}" if args.style == "v1"
                 else f"matrix-{args.style}-{name}")
+    conv_h = getattr(args, "conv_hidden", 0)
+    deconv_h = getattr(args, "deconv_hidden", 0)
+    if conv_h or deconv_h:
+        run_name = (f"matrix-{args.style}-c{conv_h or 50}"
+                    f"d{deconv_h or 200}-{name}")
     argv = [
         "--dataset", "spherecube", "--data_dir", args.data_dir,
         "--beta", "1", "--epochs", str(args.epochs),
@@ -90,6 +95,10 @@ def run_config(name, args):
         # outputs/<name> (same behavior as the reference, main.py:23-25)
         "--name", run_name,
     ] + CONFIGS[name]
+    if conv_h:
+        argv += ["--conv_hidden", str(conv_h)]
+    if deconv_h:
+        argv += ["--deconv_hidden", str(deconv_h)]
     if args.device_data:
         argv.append("--device_data")
     exp = cli_main.main(argv)
@@ -109,6 +118,15 @@ def write_table(results, args):
         begin = f"<!-- latent-matrix-{args.style}:begin -->"
         end = f"<!-- latent-matrix-{args.style}:end -->"
         title = f"Latent-space matrix (spherecube, {args.style} renders)"
+    conv_h = getattr(args, "conv_hidden", 0)
+    deconv_h = getattr(args, "deconv_hidden", 0)
+    if conv_h or deconv_h:
+        cap = f"c{conv_h or 50}d{deconv_h or 200}"
+        begin = f"<!-- latent-matrix-{args.style}-{cap}:begin -->"
+        end = f"<!-- latent-matrix-{args.style}-{cap}:end -->"
+        title = (f"Latent-space matrix (spherecube, {args.style} renders, "
+                 f"scaled capacity conv {conv_h or 50} / deconv "
+                 f"{deconv_h or 200})")
 
     merge_marker_table(
         args.out, begin, end,
@@ -116,6 +134,8 @@ def write_table(results, args):
             f"Spherecube ({args.n_images} in-repo renders"
             + (f", {args.style} high-pose-contrast style"
                if args.style != "v1" else "")
+            + (f", conv {conv_h or 50} / deconv {deconv_h or 200}"
+               if conv_h or deconv_h else "")
             + "), batch 64, "
             f"beta=1, lr 1e-3, clip 1e-5, early stop {args.max_early_stop} "
             f"stale epochs (cap {args.epochs}); "
@@ -149,6 +169,13 @@ def main(argv=None):
     p.add_argument("--device_data", action="store_true",
                    help="keep the uint8 image cache device-resident "
                         "(fits HBM at these sizes; large wall speedup)")
+    p.add_argument("--conv_hidden", type=int, default=0,
+                   help="scaled-capacity matrix: conv base width "
+                        "(0 = reference default 50); runs get their own "
+                        "marker table and matrix-<style>-cXdY-* names")
+    p.add_argument("--deconv_hidden", type=int, default=0,
+                   help="scaled-capacity matrix: deconv width "
+                        "(0 = reference default 200)")
     args = p.parse_args(argv)
 
     if args.style != "v1" and args.data_dir == "data/spherecube-8k":

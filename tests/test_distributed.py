@@ -31,7 +31,8 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def _run_workers(num_processes, local_devices, tmp_path, timeout=1200):
+def _run_workers(num_processes, local_devices, tmp_path, timeout=1200,
+                 extra_args=()):
     port = _free_port()
     env = dict(os.environ)
     # the worker sets its own device count; drop the conftest's 8-device
@@ -47,13 +48,16 @@ def _run_workers(num_processes, local_devices, tmp_path, timeout=1200):
              "--num_processes", str(num_processes),
              "--port", str(port),
              "--local_devices", str(local_devices),
-             "--out", out],
+             "--out", out] + list(extra_args),
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
     logs = []
     try:
+        # gather EVERY worker's output before asserting: the root cause of
+        # a coordination failure is usually in the OTHER worker's log
         for p in procs:
             stdout, _ = p.communicate(timeout=timeout)
             logs.append(stdout.decode(errors="replace"))
+        for p in procs:
             assert p.returncode == 0, (
                 f"worker exited {p.returncode}:\n" + "\n---\n".join(logs))
     finally:
@@ -92,3 +96,75 @@ def test_two_process_training_matches_single_process(tmp_path):
                                single["test_recon"], rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(double[0]["test_kl"], single["test_kl"],
                                rtol=1e-3, atol=1e-4)
+
+    # multi-host device-resident data (VERDICT r2 next-step #5): each
+    # process replicates the dataset on its devices and training becomes
+    # global on-device index gathers — must reproduce the streaming run
+    double_dev = _run_workers(2, 4, tmp_path, extra_args=["--device_data"])
+    for d in double_dev:
+        assert d["process_count"] == 2 and d["global_devices"] == 8
+    np.testing.assert_allclose(double_dev[0]["param_l1"],
+                               single["param_l1"], rtol=1e-4)
+    np.testing.assert_allclose(double_dev[0]["test_recon"],
+                               single["test_recon"], rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(double_dev[0]["test_kl"],
+                               single["test_kl"], rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_two_process_flagship_with_checkpoint_round_trip(tmp_path):
+    """VERDICT r2 next-step #1: the FLAGSHIP path across real process
+    boundaries — conv+BatchNorm image model on streaming uint8 ScPairs
+    batches (pair flattening) with equivariance + encoder-continuity
+    losses, plus an orbax checkpoint save -> restore-into-fresh-experiment
+    -> continue-training round trip. The 2-process run must reproduce the
+    single-process 8-device run: same replicated parameters after the
+    round trip, same cross-shard BatchNorm statistics, same eval metrics."""
+    data_dir = tmp_path / "sc-pairs"
+    _render_pairs(str(data_dir), n_pairs=32)
+
+    def run(n_proc, local_devices, ckpt_name):
+        return _run_workers(
+            n_proc, local_devices, tmp_path, timeout=2400,
+            extra_args=["--mode", "flagship",
+                        "--data_dir", str(data_dir),
+                        "--ckpt_dir", str(tmp_path / ckpt_name)])
+
+    single = run(1, 8, "ckpt_single")[0]
+    double = run(2, 4, "ckpt_double")
+
+    assert single["process_count"] == 1 and single["global_devices"] == 8
+    for d in double:
+        assert d["process_count"] == 2 and d["global_devices"] == 8
+
+    # BatchNorm must actually be exercised (non-trivial running stats),
+    # and the restored step must reflect epoch 0's optimizer steps
+    assert single["saved_bn_l1"] > 0 and single["bn_l1"] > 0
+    assert single["restored_step"] == 4      # 32 pairs / batch 8
+    assert double[0]["restored_step"] == 4
+
+    # both processes of the distributed run observe identical state
+    np.testing.assert_allclose(double[0]["param_l1"], double[1]["param_l1"],
+                               rtol=1e-6)
+    np.testing.assert_allclose(double[0]["bn_l1"], double[1]["bn_l1"],
+                               rtol=1e-6)
+
+    # distributed == single-process for the saved state, the continued
+    # (post-restore) state, the BN running stats, and the eval metrics
+    for key, rtol in (("saved_param_l1", 1e-4), ("param_l1", 1e-4),
+                      ("saved_bn_l1", 1e-3), ("bn_l1", 1e-3)):
+        np.testing.assert_allclose(double[0][key], single[key], rtol=rtol)
+    np.testing.assert_allclose(double[0]["test_recon"],
+                               single["test_recon"], rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(double[0]["test_kl"], single["test_kl"],
+                               rtol=1e-3, atol=1e-3)
+
+
+def _render_pairs(out_dir, n_pairs):
+    """Tiny sc-pairs set rendered once (CPU) and shared by all workers."""
+    import math
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from lie_vae_tpu.cli.gen_spherecube import generate
+    generate(n_pairs, out_dir, step_size=2 * math.pi / 60, pairs=True)
