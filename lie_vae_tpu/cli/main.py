@@ -60,6 +60,20 @@ def build_dataset(args):
     return dataset, batch_size, item_rep
 
 
+def sigma_clamp_value(args):
+    """--sigma_clamp: float upper bound on the SO(3) posterior sigma, or
+    'auto' = pi*density_k/2, the k-shell wrapped density's validity bound
+    (see SO3Reparameterize.sigma_clamp)."""
+    import math
+
+    raw = getattr(args, "sigma_clamp", None)
+    if raw is None:
+        return None
+    if str(raw).lower() == "auto":
+        return math.pi * args.density_k / 2.0
+    return float(raw)
+
+
 def build_model(args, dataset, item_rep):
     return LieVAE(
         latent_mode=args.latent_mode,
@@ -84,6 +98,7 @@ def build_model(args, dataset, item_rep):
         compute_dtype=args.compute_dtype,
         kernel_impl=args.kernel_impl,
         density_k=args.density_k,
+        sigma_clamp=sigma_clamp_value(args),
     )
 
 
@@ -249,6 +264,12 @@ def parse_args(argv=None):
     parser.add_argument("--mlp_layers", type=int, default=3)
     parser.add_argument("--mlp_activation", default="relu")
     parser.add_argument("--fixed_sigma", type=float)
+    parser.add_argument("--sigma_clamp", default=None,
+                        help="upper clamp on the SO(3) posterior's learned "
+                             "algebra sigma: a float, or 'auto' = "
+                             "pi*density_k/2 (the wrapped density's "
+                             "validity bound) — prevents the runaway-sigma "
+                             "divergence seen at scaled capacity")
     parser.add_argument("--control_p", type=int, default=2)
     parser.add_argument("--weight_decay", type=float, default=0.0)
     parser.add_argument("--lr", type=float, default=1.0e-3)

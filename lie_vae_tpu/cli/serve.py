@@ -46,6 +46,8 @@ def _build_model(args):
     was frozen to (the checkpoint then has no item_rep param), which we
     reload from --toy_path exactly as training did.
     """
+    from lie_vae_tpu.cli.main import sigma_clamp_value as \
+        cli_main_sigma_clamp
     from lie_vae_tpu.models import LieVAE
 
     is_toy = args.dataset == "toy"
@@ -78,6 +80,7 @@ def _build_model(args):
         compute_dtype=args.compute_dtype,
         kernel_impl=args.kernel_impl,
         density_k=args.density_k,
+        sigma_clamp=cli_main_sigma_clamp(args),
     )
 
 

@@ -152,6 +152,16 @@ class SO3Reparameterize(nn.Module):
     fixed_sigma: Optional[float] = None
     deterministic: bool = False
     density_impl: str = "xla"   # 'xla' | 'pallas' | 'auto' (fused kernel)
+    # Opt-in upper clamp on the learned algebra sigma. The k-shell wrapped
+    # density is only valid while the noise mass fits the wrapping window
+    # (sigma <~ pi*k/2); past it log q is truncation-biased, the MC KL can
+    # go NEGATIVE, and training can run away (sigma in the hundreds —
+    # observed on scaled-capacity 32k runs, BENCHMARKS beta-seed study).
+    # Clamping constrains the posterior family to the regime where its
+    # density is exact; gradients above the clamp are zero, which is the
+    # point (no gradient pressure toward the invalid regime). None = off
+    # (reference behavior).
+    sigma_clamp: Optional[float] = None
 
     @nn.compact
     def __call__(self, h, n=1):
@@ -164,6 +174,8 @@ class SO3Reparameterize(nn.Module):
             # rename the checkpoint parameter paths) — keep in sync
             sigma = jnp.maximum(nn.softplus(Dense(3, name="sigma")(h)),
                                 _SIGMA_FLOOR)
+            if self.sigma_clamp is not None:
+                sigma = jnp.minimum(sigma, self.sigma_clamp)
         key = self.make_rng("sample") if not self.deterministic else None
         return dist.sample_so3(key, mu_lie, sigma, n=n, k=self.k,
                                deterministic=self.deterministic,

@@ -57,6 +57,11 @@ class LieVAE(nn.Module):
     mlp_hidden: int = 50
     mlp_activation: str = "relu"
     fixed_sigma: Optional[float] = None
+    # opt-in upper clamp on the SO(3) posterior's learned algebra sigma —
+    # keeps the k-shell wrapped density in its validity regime
+    # (sigma <= ~pi*density_k/2) and prevents the runaway-sigma divergence
+    # observed at scaled capacity (see SO3Reparameterize.sigma_clamp)
+    sigma_clamp: Optional[float] = None
     # TPU mixed precision: compute dtype for the conv/deconv/MLP stacks
     # ('bfloat16' for the MXU fast path); params, Lie-group math, densities
     # and losses stay float32. None = full float32.
@@ -127,7 +132,8 @@ class LieVAE(nn.Module):
                 mean_mode=self.mean_mode, k=self.density_k,
                 fixed_sigma=self.fixed_sigma,
                 deterministic=self.deterministic,
-                density_impl=self.kernel_impl)
+                density_impl=self.kernel_impl,
+                sigma_clamp=self.sigma_clamp)
         elif self.latent_mode == "normal":
             self.rep_group = NormalReparameterize(
                 self.normal_dims, deterministic=self.deterministic)

@@ -32,7 +32,31 @@ def _free_port():
 
 
 def _run_workers(num_processes, local_devices, tmp_path, timeout=1200,
-                 extra_args=()):
+                 extra_args=(), attempts=2):
+    """Spawn the worker set; on a Gloo context-init timeout, retry once.
+
+    Gloo's rendezvous (KV exchange + TCP connect) has a hard 30 s window
+    per communicator context. On this single-core CI host, heavy
+    oversubscription (concurrent compiles in both workers plus whatever
+    else the suite is running) can skew the two processes past it — an
+    infrastructure flake, not a correctness failure. A second attempt
+    runs against the now-warm persistent compile cache, so both workers
+    reach every dispatch within milliseconds of each other."""
+    last_logs = ""
+    for attempt in range(attempts):
+        ok, logs, results = _spawn_workers(num_processes, local_devices,
+                                           tmp_path, timeout, extra_args)
+        if ok:
+            return results
+        last_logs = logs
+        gloo_flake = "Gloo context initialization failed" in logs
+        assert gloo_flake and attempt + 1 < attempts, (
+            f"worker failure (attempt {attempt + 1}):\n{logs}")
+    raise AssertionError(f"workers kept failing:\n{last_logs}")
+
+
+def _spawn_workers(num_processes, local_devices, tmp_path, timeout,
+                   extra_args):
     port = _free_port()
     env = dict(os.environ)
     # the worker sets its own device count; drop the conftest's 8-device
@@ -52,14 +76,11 @@ def _run_workers(num_processes, local_devices, tmp_path, timeout=1200,
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
     logs = []
     try:
-        # gather EVERY worker's output before asserting: the root cause of
+        # gather EVERY worker's output before deciding: the root cause of
         # a coordination failure is usually in the OTHER worker's log
         for p in procs:
             stdout, _ = p.communicate(timeout=timeout)
             logs.append(stdout.decode(errors="replace"))
-        for p in procs:
-            assert p.returncode == 0, (
-                f"worker exited {p.returncode}:\n" + "\n---\n".join(logs))
     finally:
         # a worker crash (or communicate timeout) must not leak the other
         # workers: they block on the coordination service forever and
@@ -68,7 +89,10 @@ def _run_workers(num_processes, local_devices, tmp_path, timeout=1200,
             if p.poll() is None:
                 p.kill()
                 p.communicate()
-    return [json.load(open(o)) for o in outs]
+    joined = "\n---\n".join(logs)
+    if any(p.returncode != 0 for p in procs):
+        return False, joined, None
+    return True, joined, [json.load(open(o)) for o in outs]
 
 
 @pytest.mark.slow

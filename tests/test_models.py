@@ -260,3 +260,44 @@ def test_density_k_plumbs_to_stats(key):
 
     assert stats_for(base).k == 10
     assert stats_for(base.clone(density_k=30)).k == 30
+
+
+def test_sigma_clamp_bounds_posterior_sigma():
+    """Opt-in sigma_clamp keeps the SO(3) posterior's learned sigma inside
+    the wrapped density's validity regime (prevents the runaway-sigma
+    divergence observed at scaled capacity — BENCHMARKS beta-seed study)."""
+    import jax
+    import jax.numpy as jnp
+    from lie_vae_tpu.models import LieVAE
+
+    def max_sigma(clamp):
+        model = LieVAE(latent_mode="so3", decoder_mode="action",
+                       mean_mode="s2s2", encode_mode="toy",
+                       deconv_mode="toy", degrees=2, rep_copies=2,
+                       sigma_clamp=clamp)
+        x = 100.0 * jax.random.normal(jax.random.PRNGKey(0), (4, 9, 2))
+        variables = model.init({"params": jax.random.PRNGKey(1),
+                                "sample": jax.random.PRNGKey(2)},
+                               x, n=1, train=True)
+        stats = model.apply(variables, x, n=1, train=False,
+                            method="encode",
+                            rngs={"sample": jax.random.PRNGKey(3)})
+        return float(jnp.max(stats[0].inner.sigma))
+
+    unclamped = max_sigma(None)
+    clamped = max_sigma(0.5 * unclamped)
+    assert clamped <= 0.5 * unclamped + 1e-6
+    assert unclamped > clamped
+
+
+def test_sigma_clamp_cli_value():
+    from lie_vae_tpu.cli.main import parse_args, sigma_clamp_value
+
+    args = parse_args(["--dataset", "toy"])
+    assert sigma_clamp_value(args) is None
+    args = parse_args(["--dataset", "toy", "--sigma_clamp", "2.5"])
+    assert sigma_clamp_value(args) == 2.5
+    args = parse_args(["--dataset", "toy", "--sigma_clamp", "auto",
+                       "--density_k", "10"])
+    import math
+    assert abs(sigma_clamp_value(args) - math.pi * 5) < 1e-9
