@@ -153,6 +153,7 @@ def main(argv=None):
         steps_per_call=args.steps_per_call,
         device_data=args.device_data,
         seed=args.seed,
+        equivariance_rotate=args.equivariance_rotate,
     )
 
     if args.torch_checkpoint:
@@ -264,6 +265,13 @@ def parse_args(argv=None):
     parser.add_argument("--mlp_layers", type=int, default=3)
     parser.add_argument("--mlp_activation", default="relu")
     parser.add_argument("--fixed_sigma", type=float)
+    parser.add_argument("--equivariance_rotate", default="shear",
+                        choices=["shear", "gather"],
+                        help="equivariance-loss image rotation: 'shear' = "
+                             "Paeth three-matmul rotation (TPU-fast, "
+                             "default), 'gather' = map_coordinates "
+                             "bilinear (bit-matches the reference's "
+                             "grid_sample)")
     parser.add_argument("--sigma_clamp", default=None,
                         help="upper clamp on the SO(3) posterior's learned "
                              "algebra sigma: a float, or 'auto' = "

@@ -43,7 +43,7 @@ class UnsupervisedExperiment:
                  equivariance_lamb=None, encoder_continuity_lamb=None,
                  control=None, control_p=1, log=None, seed=0, mesh=None,
                  log_histograms=False, init_state=None, steps_per_call=1,
-                 device_data=False):
+                 device_data=False, equivariance_rotate="shear"):
         self.model = model
         self.control = control
         self.control_p = control_p
@@ -54,6 +54,11 @@ class UnsupervisedExperiment:
         self.report_freq = report_freq
         self.equivariance_lamb = equivariance_lamb
         self.encoder_continuity_lamb = encoder_continuity_lamb
+        # 'shear' (default): Paeth three-matmul rotation — MXU work; the
+        # map_coordinates 'gather' path bit-matches the reference's
+        # grid_sample but lowers to per-element gathers (~35 ms/step on
+        # the regularized BASELINE config, 23x the rest of the step)
+        self.equivariance_rotate = equivariance_rotate
         self.log = log if isinstance(log, MetricWriter) else MetricWriter(log)
         self.log_histograms = log_histograms
         self.mesh = mesh
@@ -302,7 +307,9 @@ class UnsupervisedExperiment:
                         eq_mut_cell.update(eq_mut)
                         return out[0].z[0]
 
-                    eq, _ = equivariance_loss(encode_fn, x, encoding, k_eq)
+                    eq, _ = equivariance_loss(
+                        encode_fn, x, encoding, k_eq,
+                        rotate_impl=self.equivariance_rotate)
                     loss = loss + lamb_eq * eq
                     metrics["equivariance"] = eq
                     if has_bn:

@@ -44,9 +44,15 @@ def main():
     args = ap.parse_args()
 
     flags = os.environ.get("XLA_FLAGS", "")
+    # xla_cpu_collective_timeout_seconds: Gloo context rendezvous (KV
+    # exchange + TCP connect) defaults to a hard 30 s window per
+    # communicator; on an oversubscribed single-core CI host the two
+    # workers' multi-minute compiles can skew past it at any first
+    # collective of a new clique/stream. 600 s rides out worst-case skew.
     os.environ["XLA_FLAGS"] = (
         flags + f" --xla_force_host_platform_device_count="
-        f"{args.local_devices}").strip()
+        f"{args.local_devices}"
+        " --xla_cpu_collective_timeout_seconds=600").strip()
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
 
