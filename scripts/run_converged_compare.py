@@ -123,7 +123,9 @@ def load_torch_result(path):
     return res
 
 
-def write_table(ours, torch_res, args):
+def write_table(ours, torch_res, args, extra_rows=()):
+    """extra_rows: additional (label, result-dict) framework rows (e.g.
+    the float32 attribution run) appended after the main framework row."""
     def row(label, r):
         return (f"| {label} | {r['epochs']} | {r['steps']} "
                 f"| {r['best_valid_recon']} (ep {r['best_epoch']}) "
@@ -154,8 +156,10 @@ def write_table(ours, torch_res, args):
         "|---|---|---|---|---|---|---|---|",
     ]
     if torch_res is not None:
-        lines.append(row("PyTorch reference (CPU)", torch_res))
-    lines.append(row("lie_vae_tpu (1 TPU chip)", ours))
+        lines.append(row("PyTorch reference (CPU, fp32)", torch_res))
+    lines.append(row("lie_vae_tpu (1 TPU chip, bf16 compute)", ours))
+    for label, r in extra_rows:
+        lines.append(row(label, r))
     lines.append(END)
     block = "\n".join(lines)
 
@@ -185,11 +189,20 @@ def main(argv=None):
     p.add_argument("--torch_json", default=None,
                    help="bench_reference_torch --out file with the "
                         "converged torch-side result")
+    p.add_argument("--json_out", default=None,
+                   help="also write this run's result JSON here")
+    p.add_argument("--skip_table", action="store_true",
+                   help="emit JSON only (a later merge writes the table)")
     p.add_argument("--out", default="BENCHMARKS.md")
     args = p.parse_args(argv)
 
     ours = run_framework(args)
     print(json.dumps(ours), flush=True)
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(ours, f)
+    if args.skip_table:
+        return
     torch_res = (load_torch_result(args.torch_json)
                  if args.torch_json and os.path.exists(args.torch_json)
                  else None)
