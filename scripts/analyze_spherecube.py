@@ -50,6 +50,10 @@ def load_checkpointed_model(name, args):
 
     argv = ["--dataset", "spherecube", "--data_dir", args.data_dir,
             "--compute_dtype", args.compute_dtype] + CONFIGS[name]
+    if args.conv_hidden:
+        argv += ["--conv_hidden", str(args.conv_hidden)]
+    if args.deconv_hidden:
+        argv += ["--deconv_hidden", str(args.deconv_hidden)]
     cli_args = parse_args(argv)
     dataset, _, item_rep = build_dataset(cli_args)
     model = build_model(cli_args, dataset, item_rep)
@@ -170,6 +174,12 @@ def main(argv=None):
     p.add_argument("--compute_dtype", default="bfloat16")
     p.add_argument("--n_traj", type=int, default=200)
     p.add_argument("--out_dir", default="analysis_out/spherecube")
+    p.add_argument("--conv_hidden", type=int, default=0,
+                   help="scaled-capacity matrix runs: conv width "
+                        "(0 = reference 50)")
+    p.add_argument("--deconv_hidden", type=int, default=0,
+                   help="scaled-capacity matrix runs: deconv width "
+                        "(0 = reference 200)")
     p.add_argument("--style", choices=["v1", "v2"], default="v1",
                    help="render style for trajectories/strips; v2 also "
                         "retargets the default checkpoint prefix, data "
@@ -177,6 +187,13 @@ def main(argv=None):
     args = p.parse_args(argv)
     args.run_prefix = "matrix-" if args.style == "v1" else \
         f"matrix-{args.style}-"
+    if args.conv_hidden or args.deconv_hidden:
+        # scaled-capacity matrix runs (run_latent_matrix --conv_hidden/
+        # --deconv_hidden) use matrix-<style>-cXdY-* names
+        cap = f"c{args.conv_hidden or 50}d{args.deconv_hidden or 200}"
+        args.run_prefix = f"matrix-{args.style}-{cap}-"
+        if args.out_dir.startswith("analysis_out/spherecube"):
+            args.out_dir = f"analysis_out/spherecube-{args.style}-{cap}"
     if args.style != "v1":
         if args.data_dir == "data/spherecube-8k":
             args.data_dir = f"data/spherecube-{args.style}-8k"
