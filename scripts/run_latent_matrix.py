@@ -99,6 +99,8 @@ def run_config(name, args):
         argv += ["--conv_hidden", str(conv_h)]
     if deconv_h:
         argv += ["--deconv_hidden", str(deconv_h)]
+    if getattr(args, "sigma_clamp", None):
+        argv += ["--sigma_clamp", str(args.sigma_clamp)]
     if args.device_data:
         argv.append("--device_data")
     exp = cli_main.main(argv)
@@ -169,6 +171,12 @@ def main(argv=None):
     p.add_argument("--device_data", action="store_true",
                    help="keep the uint8 image cache device-resident "
                         "(fits HBM at these sizes; large wall speedup)")
+    p.add_argument("--sigma_clamp", default=None,
+                   help="forwarded to the CLI (SO(3) cells only): 'auto' "
+                        "clamps posterior sigma at the wrapped density's "
+                        "validity bound — REQUIRED at scaled capacity, "
+                        "where unclamped beta=1 diverges on most seeds "
+                        "(BENCHMARKS beta-seed study)")
     p.add_argument("--conv_hidden", type=int, default=0,
                    help="scaled-capacity matrix: conv base width "
                         "(0 = reference default 50); runs get their own "
