@@ -141,7 +141,10 @@ def write_table(results, args):
             + "), batch 64, "
             f"beta=1, lr 1e-3, clip 1e-5, early stop {args.max_early_stop} "
             f"stale epochs (cap {args.epochs}); "
-            f"compute_dtype={args.compute_dtype}. LL = importance-sampled "
+            f"compute_dtype={args.compute_dtype}"
+            + (f"; sigma_clamp={args.sigma_clamp} on SO(3) cells"
+               if getattr(args, "sigma_clamp", None) else "")
+            + ". LL = importance-sampled "
             "test log-likelihood, n=500 (the reference's final eval, "
             "main.py:134-143). Driven through `lie_vae_tpu.cli.main` by "
             "`scripts/run_latent_matrix.py`."),
