@@ -226,8 +226,22 @@ def converged_run(torch, model, train, valid, batch_size, beta, prep,
             best.update(recon=v, epoch=epoch,
                         state=copy.deepcopy(model.state_dict()))
             stale = 0
+            if args.state_dir:
+                # persist the best state + progress so a killed run (host
+                # rotation, session budget) still yields the best-ckpt IW-LL
+                os.makedirs(args.state_dir, exist_ok=True)
+                torch.save(best["state"],
+                           os.path.join(args.state_dir, "best.pt"))
         else:
             stale += 1
+        if args.state_dir:
+            with open(os.path.join(args.state_dir,
+                                   "progress.json"), "w") as f:
+                json.dump({"curve": curve, "stale": stale,
+                           "best_recon": best["recon"],
+                           "best_epoch": best["epoch"],
+                           "steps_per_epoch": steps_per_epoch,
+                           "wall_s": round(time.perf_counter() - t0, 1)}, f)
         print(json.dumps({**curve[-1], "stale": stale,
                           "wall_s": round(time.perf_counter() - t0, 1)}),
               flush=True)
@@ -265,6 +279,12 @@ def main(argv=None):
     p.add_argument("--ll_items", type=int, default=32)
     p.add_argument("--ll_samples", type=int, default=100)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--state_dir", default=None,
+                   help="converged mode: persist best state_dict + per-"
+                        "epoch progress here (crash/rotation-safe)")
+    p.add_argument("--finalize_from", default=None,
+                   help="compute the best-ckpt IW-LL from a --state_dir "
+                        "left by a killed converged run (no training)")
     p.add_argument("--out", default=None, help="append JSON lines here")
     args = p.parse_args(argv)
 
@@ -286,6 +306,39 @@ def main(argv=None):
     names = {c.split("-")[0]: c for c in (
         "1-toy-so3-ae", "2-spherecube-normal-mlp", "3-spherecube-so3-mlp",
         "4-spherecube-so3-action", "5-full-regularized")}
+
+    if args.finalize_from:
+        # a converged run was killed mid-training (host rotation / session
+        # budget): rebuild config 4, load the persisted best state, and
+        # compute the best-ckpt IW-LL from where the run left off.
+        model, train, valid, batch_size, beta = build(
+            "4-spherecube-so3-action", torch)
+        model.r_callback = None
+        with open(os.path.join(args.finalize_from, "progress.json")) as f:
+            prog = json.load(f)
+        model.load_state_dict(torch.load(
+            os.path.join(args.finalize_from, "best.pt"),
+            weights_only=True))
+        ll_best = iw_ll(torch, model, valid, args.ll_items,
+                        args.ll_samples)
+        curve = prog["curve"]
+        res = {"config": "4-spherecube-so3-action (torch reference, "
+                         "converged, finalized from persisted best)",
+               "steps": curve[-1]["step"], "epochs": len(curve),
+               "steps_per_epoch": prog["steps_per_epoch"],
+               "best_valid_recon": round(prog["best_recon"], 2),
+               "best_epoch": prog["best_epoch"],
+               "final_valid_recon": curve[-1]["valid_recon"],
+               "iw_ll_final": None, "iw_ll_best_ckpt": round(ll_best, 2),
+               "stale_at_stop": prog["stale"],
+               "ll_items": args.ll_items, "ll_samples": args.ll_samples,
+               "train_wall_s": prog["wall_s"], "curve": curve}
+        print(json.dumps(res), flush=True)
+        if args.out:
+            with open(args.out, "a") as f:
+                f.write(json.dumps(res) + "\n")
+        return
+
     results = {}
     for key in args.configs:
         name = names[key]

@@ -98,6 +98,7 @@ def run_framework(args):
             best["state"]["batch_stats"]))
     ll_best = exp.log_likelihood(ll_subset, **ll_kw)
     return {"config": "4-spherecube-so3-action (lie_vae_tpu, converged)",
+            "compute_dtype": args.compute_dtype,
             "steps": (len(curve)) * steps_per_epoch, "epochs": len(curve),
             "steps_per_epoch": steps_per_epoch,
             "best_valid_recon": round(best["recon"], 2),
@@ -199,8 +200,25 @@ def main(argv=None):
                    help="also write this run's result JSON here")
     p.add_argument("--skip_table", action="store_true",
                    help="emit JSON only (a later merge writes the table)")
+    p.add_argument("--merge", nargs="*", default=None, metavar="JSON",
+                   help="no training: merge framework result JSONs "
+                        "(bf16 first, then extra rows like the float32 "
+                        "attribution run) + --torch_json into the table")
     p.add_argument("--out", default="BENCHMARKS.md")
     args = p.parse_args(argv)
+
+    if args.merge is not None:
+        rows = [json.load(open(f)) for f in args.merge]
+        torch_res = (load_torch_result(args.torch_json)
+                     if args.torch_json and os.path.exists(args.torch_json)
+                     else None)
+        labels = {"bfloat16": "lie_vae_tpu (1 TPU chip, bf16 compute)",
+                  "float32": "lie_vae_tpu (1 TPU chip, float32 compute)"}
+        extra = [(labels.get(r.get("compute_dtype", ""),
+                             r.get("compute_dtype", "extra")), r)
+                 for r in rows[1:]]
+        write_table(rows[0], torch_res, args, extra_rows=extra)
+        return
 
     ours = run_framework(args)
     print(json.dumps(ours), flush=True)

@@ -217,3 +217,53 @@ def test_beta_sweep_merge(tmp_path):
     assert "| beta = 0.5 | 65.20 | -71.5 |" in doc2
     assert "| beta = 1 (reference default) | 75.00 | — |" in doc2
     assert doc2.count(rbs.BEGIN) == 1
+
+
+def test_converged_compare_merge(tmp_path):
+    """--merge mode: bf16 + f32 framework JSONs + the torch converged
+    JSONL land as three rows (reference first), without training."""
+    import json
+
+    from scripts import run_converged_compare as rcc
+
+    def result(config, dtype=None, **kw):
+        r = {"config": config, "epochs": 120, "steps": 2280,
+             "best_valid_recon": 31.2, "best_epoch": 70,
+             "final_valid_recon": 31.5, "iw_ll_best_ckpt": -85.1,
+             "iw_ll_final": -85.8, "train_wall_s": 726.0}
+        if dtype:
+            r["compute_dtype"] = dtype
+        r.update(kw)
+        return r
+
+    bf16 = str(tmp_path / "bf16.json")
+    f32 = str(tmp_path / "f32.json")
+    torch_out = str(tmp_path / "torch.jsonl")
+    with open(bf16, "w") as f:
+        json.dump(result("4 (lie_vae_tpu, converged)", "bfloat16"), f)
+    with open(f32, "w") as f:
+        json.dump(result("4 (lie_vae_tpu, converged)", "float32",
+                         best_valid_recon=26.4, iw_ll_best_ckpt=-80.0), f)
+    with open(torch_out, "w") as f:
+        f.write(json.dumps({"config": "warmup, ignored"}) + "\n")
+        f.write(json.dumps(result(
+            "4 (torch reference, converged)",
+            best_valid_recon=30.9, train_wall_s=9000.0)) + "\n")
+
+    out = str(tmp_path / "B.md")
+    with open(out, "w") as f:
+        f.write("# Doc\n\npreamble\n")
+    rcc.main(["--merge", bf16, f32, "--torch_json", torch_out,
+              "--out", out])
+
+    doc = open(out).read()
+    rows = [l for l in doc.splitlines() if l.startswith("| ")]
+    assert rows[0].split("|")[1].strip() == "implementation"
+    assert "PyTorch reference (CPU, fp32)" in rows[1] and "30.9" in rows[1]
+    assert "bf16 compute" in rows[2]
+    assert "float32 compute" in rows[3] and "26.4 (ep 70)" in rows[3]
+    assert doc.count(rcc.BEGIN) == 1
+    # idempotent re-merge replaces the block in place
+    rcc.main(["--merge", bf16, f32, "--torch_json", torch_out,
+              "--out", out])
+    assert open(out).read().count(rcc.BEGIN) == 1
