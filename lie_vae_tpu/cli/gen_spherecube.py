@@ -28,36 +28,50 @@ def _pose_name(index, sub, q):
         index, sub, *[float(x) for x in q])
 
 
+def sample_poses(num, step_size, pairs, seed):
+    """Haar pose a (+ pair b = a @ exp(N(0, step)) when ``pairs``) — pure
+    numpy (PCG64), so the realization is HOST-DETERMINISTIC: re-rendering
+    with the same (num, step_size, pairs, seed) reproduces the dataset
+    bit-for-bit across machine rotations (the r2 pipeline sampled poses on
+    the session's default jax device, which did not)."""
+    from lie_vae_tpu.data._np_ops import (
+        expmap_np, group_matrix_to_quaternions_np,
+        quaternions_to_group_matrix_np, random_quaternions_np)
+
+    rng = np.random.default_rng(seed)
+    a_r = quaternions_to_group_matrix_np(random_quaternions_np(num, rng))
+    if pairs:
+        d = expmap_np(rng.normal(size=(num, 3)) * step_size)
+        r = np.stack([a_r, a_r @ d], 1)                 # (num, 2, 3, 3)
+    else:
+        r = a_r[:, None]                                # (num, 1, 3, 3)
+    return r, group_matrix_to_quaternions_np(r)
+
+
 def generate(num, out_dir, step_size, size=64, pairs=True, seed=0,
-             use_blender=False, style="v1"):
-    import jax
-    import jax.numpy as jnp
-
-    from lie_vae_tpu import ops
-
-    # one jitted program: eager dispatch on the tunneled TPU runtime is a
-    # remote compile PER OP (minutes for this handful of ops); jitted it
-    # is one compile + one call
-    @jax.jit
-    def _poses(key):
-        k_a, k_d = jax.random.split(key)
-        a_r = ops.random_group_matrices(k_a, num)
-        if pairs:
-            d = ops.expmap(jax.random.normal(k_d, (num, 3)) * step_size)
-            b_r = a_r @ d
-            r = jnp.stack([a_r, b_r], 1)                # (num, 2, 3, 3)
-        else:
-            r = a_r[:, None]                            # (num, 1, 3, 3)
-        return r, ops.group_matrix_to_quaternions(r)
-
-    r, q = _poses(jax.random.PRNGKey(seed))
-
-    r_np = np.asarray(r)
-    q_np = np.asarray(q)
+             use_blender=False, style="v1", from_poses=None):
+    if from_poses:
+        # exact re-render of a pinned realization (see --save_poses):
+        # the ray-caster is deterministic host code, so poses pin pixels
+        with np.load(from_poses) as f:
+            r_np, q_np = f["r"], f["q"]
+        if len(r_np) != num or bool(r_np.shape[1] == 2) != bool(pairs):
+            raise ValueError(
+                f"pose manifest {from_poses} holds {len(r_np)} "
+                f"{'pairs' if r_np.shape[1] == 2 else 'singles'}; "
+                f"asked for {num} {'pairs' if pairs else 'singles'}")
+    else:
+        r_np, q_np = sample_poses(num, step_size, pairs, seed)
     names = [[_pose_name(i, j, q_np[i, j]) for j in range(r_np.shape[1])]
              for i in range(num)]
 
     os.makedirs(out_dir, exist_ok=True)
+    # manifest: lets a later host re-render THIS dataset bit-exactly
+    # (``from_poses``) even if numpy's sampling streams ever change
+    np.savez_compressed(
+        os.path.join(out_dir, "_poses.npz"), r=r_np, q=q_np,
+        meta=np.array([num, r_np.shape[1], size, seed], dtype=np.int64),
+        step_size=np.float64(step_size), style=np.bytes_(style))
     if use_blender:
         if style != "v1":
             raise ValueError(
@@ -120,10 +134,14 @@ def main(argv=None):
                         help="render look: v1 (round-1, dim flat faces) or "
                              "v2 (high-pose-contrast textures; see "
                              "data/render.py)")
+    parser.add_argument("--from_poses", default=None,
+                        help="re-render exactly this pose manifest "
+                             "(an _poses.npz written by a prior generate)")
     args = parser.parse_args(argv)
     generate(args.num, args.dir, args.step_size, size=args.size,
              pairs=not args.singles, seed=args.seed,
-             use_blender=args.blender, style=args.style)
+             use_blender=args.blender, style=args.style,
+             from_poses=args.from_poses)
     print(f"Wrote {'pairs' if not args.singles else 'poses'} to {args.dir}")
 
 

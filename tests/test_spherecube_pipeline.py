@@ -30,6 +30,42 @@ def scpairs_dir(tmp_path_factory):
     return str(d)
 
 
+def test_generate_is_pose_pinned(tmp_path):
+    """Datasets are reproducible across machine rotations: pose sampling is
+    pure numpy (PCG64), every generate() writes an _poses.npz manifest, and
+    ``from_poses`` re-renders a manifest byte-for-byte (the r2 pipeline
+    sampled poses on the session's default jax device, so each host realized
+    a different dataset and cross-round tables were not comparable)."""
+    import hashlib
+
+    from lie_vae_tpu.cli.gen_spherecube import sample_poses
+
+    r1, q1 = sample_poses(16, 0.1, True, seed=5)
+    r2, q2 = sample_poses(16, 0.1, True, seed=5)
+    assert (r1 == r2).all() and (q1 == q2).all()
+    assert r1.shape == (16, 2, 3, 3)
+    # pair b is a valid rotation (numpy expmap path)
+    b = r1[:, 1].astype(np.float64)
+    assert np.abs(b @ b.transpose(0, 2, 1) - np.eye(3)).max() < 1e-5
+
+    d1, d2 = tmp_path / "a", tmp_path / "b"
+    generate(6, str(d1), step_size=0.1, pairs=False, seed=3)
+    assert (d1 / "_poses.npz").exists()
+    generate(6, str(d2), step_size=0.1, pairs=False, seed=99,
+             from_poses=str(d1 / "_poses.npz"))
+
+    def digest(d):
+        return sorted(
+            (f.name, hashlib.sha256(f.read_bytes()).hexdigest())
+            for f in d.iterdir() if f.suffix == ".png")
+
+    assert digest(d1) == digest(d2)
+    # manifest count mismatch is rejected, not silently truncated
+    with pytest.raises(ValueError):
+        generate(5, str(d2), step_size=0.1, pairs=False,
+                 from_poses=str(d1 / "_poses.npz"))
+
+
 def test_renderer_pose_sensitivity():
     from lie_vae_tpu import ops
     R = np.asarray(ops.random_group_matrices(jax.random.PRNGKey(1), 8))
