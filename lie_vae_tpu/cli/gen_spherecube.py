@@ -48,18 +48,48 @@ def sample_poses(num, step_size, pairs, seed):
     return r, group_matrix_to_quaternions_np(r)
 
 
+# Committed pose manifests live here, keyed by dataset-dir basename
+# (data_poses/<basename>.npz): generate() picks them up automatically so
+# every driver renders the SAME realization on every host/round.
+POSE_SETS_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "data_poses")
+
+
+def _pinned_manifest(out_dir, num, pairs):
+    """Path of a committed manifest covering (out_dir, num, pairs), if any.
+
+    A manifest with MORE poses than requested still pins the realization:
+    the first ``num`` poses are used, so e.g. bench.py's 256-image warmup
+    render is an exact prefix of the 2048-image converged-compare set."""
+    path = os.path.join(POSE_SETS_DIR,
+                        os.path.basename(os.path.normpath(out_dir)) + ".npz")
+    if not os.path.exists(path):
+        return None
+    with np.load(path) as f:
+        shape = f["r"].shape
+    if shape[0] < num or bool(shape[1] == 2) != bool(pairs):
+        return None
+    return path
+
+
 def generate(num, out_dir, step_size, size=64, pairs=True, seed=0,
              use_blender=False, style="v1", from_poses=None):
+    if from_poses is None:
+        from_poses = _pinned_manifest(out_dir, num, pairs)
+        if from_poses:
+            print(f"using pinned poses {from_poses}")
     if from_poses:
         # exact re-render of a pinned realization (see --save_poses):
         # the ray-caster is deterministic host code, so poses pin pixels
         with np.load(from_poses) as f:
             r_np, q_np = f["r"], f["q"]
-        if len(r_np) != num or bool(r_np.shape[1] == 2) != bool(pairs):
+        if len(r_np) < num or bool(r_np.shape[1] == 2) != bool(pairs):
             raise ValueError(
                 f"pose manifest {from_poses} holds {len(r_np)} "
                 f"{'pairs' if r_np.shape[1] == 2 else 'singles'}; "
                 f"asked for {num} {'pairs' if pairs else 'singles'}")
+        r_np, q_np = r_np[:num], q_np[:num]
     else:
         r_np, q_np = sample_poses(num, step_size, pairs, seed)
     names = [[_pose_name(i, j, q_np[i, j]) for j in range(r_np.shape[1])]

@@ -60,10 +60,38 @@ def test_generate_is_pose_pinned(tmp_path):
             for f in d.iterdir() if f.suffix == ".png")
 
     assert digest(d1) == digest(d2)
-    # manifest count mismatch is rejected, not silently truncated
+    # a SMALLER request renders an exact prefix of the manifest
+    d3 = tmp_path / "c"
+    generate(4, str(d3), step_size=0.1, pairs=False,
+             from_poses=str(d1 / "_poses.npz"))
+    assert digest(d3) == digest(d1)[:4]
+    # a LARGER request is rejected, not silently padded
     with pytest.raises(ValueError):
-        generate(5, str(d2), step_size=0.1, pairs=False,
+        generate(7, str(d3), step_size=0.1, pairs=False,
                  from_poses=str(d1 / "_poses.npz"))
+
+
+def test_generate_auto_pins_committed_manifest(tmp_path, monkeypatch):
+    """generate() picks up data_poses/<dir-basename>.npz automatically, so
+    drivers and bench.py render the committed realization on any host."""
+    from lie_vae_tpu.cli import gen_spherecube as g
+
+    src = tmp_path / "myset"
+    generate(6, str(src), step_size=0.1, pairs=False, seed=11)
+    pose_dir = tmp_path / "data_poses"
+    pose_dir.mkdir()
+    (pose_dir / "myset.npz").write_bytes((src / "_poses.npz").read_bytes())
+    monkeypatch.setattr(g, "POSE_SETS_DIR", str(pose_dir))
+
+    fresh = tmp_path / "elsewhere" / "myset"
+    g.generate(4, str(fresh), step_size=0.1, pairs=False, seed=999)
+    a = sorted(f.name for f in src.iterdir() if f.suffix == ".png")[:4]
+    b = sorted(f.name for f in fresh.iterdir() if f.suffix == ".png")
+    assert a == b
+    # pairs mismatch or too-small manifest -> falls back to fresh sampling
+    pairs_dir = tmp_path / "elsewhere2" / "myset"
+    g.generate(4, str(pairs_dir), step_size=0.1, pairs=True, seed=1)
+    assert len(list(pairs_dir.glob("*.png"))) == 8
 
 
 def test_renderer_pose_sensitivity():
