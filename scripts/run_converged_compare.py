@@ -139,11 +139,13 @@ def write_table(ours, torch_res, args, extra_rows=()):
         "renders)",
         "",
         f"Both sides run the reference's exact protocol: epoch loop to "
-        f"early stop ({args.early_stop} stale epochs, cap {args.epochs}), "
+        f"early stop ({args.early_stop} stale epochs, cap {args.epochs} — "
+        "3x the reference's own default budget, main.py:164), "
         "best-valid-recon checkpoint kept, then the final importance-"
         f"weighted LL (n={args.ll_samples}) on the first {args.ll_items} "
         "validation items in split order — for both the final model and "
-        "the best checkpoint. Same data, same seeded split, same "
+        "the best checkpoint. Same data (pose-pinned: "
+        "data_poses/spherecube.npz), same seeded split, same "
         "batch 64 / Adam 1e-3 / grad-clip 1e-5 / β=1. The reference runs "
         "the actual PyTorch implementation on this host's CPU "
         "(`scripts/bench_reference_torch.py --configs 4 --converged`); "
