@@ -108,6 +108,15 @@ def run_config(name, args):
             "ll": read_ll(run_name)}
 
 
+def _pose_pin_note(data_dir):
+    """'; poses pinned (...)' when the dataset renders from a committed
+    manifest — absolute numbers then compare across rounds/hosts."""
+    base = os.path.basename(os.path.normpath(data_dir))
+    if os.path.exists(os.path.join("data_poses", base + ".npz")):
+        return f"; poses pinned (data_poses/{base}.npz)"
+    return ""
+
+
 def write_table(results, args):
     from scripts._results_table import merge_marker_table
 
@@ -144,6 +153,7 @@ def write_table(results, args):
             f"compute_dtype={args.compute_dtype}"
             + (f"; sigma_clamp={args.sigma_clamp} on SO(3) cells"
                if getattr(args, "sigma_clamp", None) else "")
+            + _pose_pin_note(args.data_dir)
             + ". LL = importance-sampled "
             "test log-likelihood, n=500 (the reference's final eval, "
             "main.py:134-143). Driven through `lie_vae_tpu.cli.main` by "
