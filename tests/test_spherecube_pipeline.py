@@ -94,6 +94,22 @@ def test_generate_auto_pins_committed_manifest(tmp_path, monkeypatch):
     assert len(list(pairs_dir.glob("*.png"))) == 8
 
 
+def test_committed_manifests_match_sampler():
+    """The committed data_poses/ manifests ARE sample_poses(num, seed=0) —
+    i.e. the pinned realizations stay reproducible from code alone even if
+    the npz files were lost (and the files haven't drifted)."""
+    from lie_vae_tpu.cli.gen_spherecube import POSE_SETS_DIR, sample_poses
+
+    for name, num in [("spherecube.npz", 2048),
+                      ("spherecube-v2-32k.npz", 32768)]:
+        path = os.path.join(POSE_SETS_DIR, name)
+        assert os.path.exists(path), path
+        with np.load(path) as f:
+            r, q = f["r"], f["q"]
+        r2, q2 = sample_poses(num, 0.1, False, seed=0)
+        assert (r == r2).all() and (q == q2).all(), name
+
+
 def test_renderer_pose_sensitivity():
     from lie_vae_tpu import ops
     R = np.asarray(ops.random_group_matrices(jax.random.PRNGKey(1), 8))
