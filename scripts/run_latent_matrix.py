@@ -153,7 +153,7 @@ def write_table(results, args):
             f"compute_dtype={args.compute_dtype}"
             + (f"; sigma_clamp={args.sigma_clamp} on SO(3) cells"
                if getattr(args, "sigma_clamp", None) else "")
-            + _pose_pin_note(args.data_dir)
+            + _pose_pin_note(getattr(args, "data_dir", ""))
             + ". LL = importance-sampled "
             "test log-likelihood, n=500 (the reference's final eval, "
             "main.py:134-143). Driven through `lie_vae_tpu.cli.main` by "
