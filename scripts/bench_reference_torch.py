@@ -198,6 +198,53 @@ def iw_ll(torch, model, valid, n_items, n_samples):
     return float(np.mean(vals))
 
 
+def _save_resume_state(torch, state_dir, model, optimizer):
+    """Persist the LIVE training state (not just the best checkpoint) so a
+    killed epoch loop continues exactly on a later host: model weights,
+    Adam moments, and the torch RNG stream that drives both the DataLoader
+    shuffle and the reparameterization sampling."""
+    torch.save(model.state_dict(), os.path.join(state_dir, "last.pt"))
+    torch.save(optimizer.state_dict(), os.path.join(state_dir, "optim.pt"))
+    torch.save({"torch_rng": torch.get_rng_state()},
+               os.path.join(state_dir, "rng.pt"))
+
+
+def _load_resume_state(torch, args, model, optimizer, best):
+    """Restore a converged run left by a previous session. Returns
+    (curve, stale, step, start_epoch, wall_prev, seam). Two formats:
+    - resume-aware state (last.pt/optim.pt/rng.pt present): exact
+      continuation — live weights, Adam moments, RNG stream.
+    - best-only state (pre-resume sessions saved just best.pt): continue
+      from the best weights with a fresh Adam; 'seam' records the
+      discontinuity so the published table can disclose it."""
+    sd = args.resume_from
+    with open(os.path.join(sd, "progress.json")) as f:
+        prog = json.load(f)
+    curve, stale = prog["curve"], prog["stale"]
+    step, start_epoch = curve[-1]["step"], curve[-1]["epoch"] + 1
+    best["recon"], best["epoch"] = prog["best_recon"], prog["best_epoch"]
+    best["state"] = torch.load(os.path.join(sd, "best.pt"),
+                               weights_only=True)
+    if os.path.exists(os.path.join(sd, "last.pt")):
+        model.load_state_dict(torch.load(os.path.join(sd, "last.pt"),
+                                         weights_only=True))
+        optimizer.load_state_dict(torch.load(os.path.join(sd, "optim.pt"),
+                                             weights_only=True))
+        torch.set_rng_state(
+            torch.load(os.path.join(sd, "rng.pt"),
+                       weights_only=True)["torch_rng"])
+        seam = prog.get("seam")    # keep any seam from an earlier resume
+    else:
+        model.load_state_dict(best["state"])
+        seam = (f"optimizer+RNG reset at epoch {start_epoch} (resumed "
+                f"from a best-only state_dict)")
+    print(f"resuming converged run at epoch {start_epoch} "
+          f"(best {best['recon']:.2f} @ {best['epoch']}, stale {stale}"
+          + (f"; SEAM: {seam}" if seam else ", exact state") + ")",
+          flush=True)
+    return curve, stale, step, start_epoch, prog.get("wall_s", 0.0), seam
+
+
 def converged_run(torch, model, train, valid, batch_size, beta, prep,
                   args):
     """Reference epoch loop to early stop (main.py:117-131): eval once per
@@ -214,8 +261,14 @@ def converged_run(torch, model, train, valid, batch_size, beta, prep,
     steps_per_epoch = len(dl)
     best = {"recon": float("inf"), "epoch": -1, "state": None}
     curve, stale, step = [], 0, 0
+    start_epoch, wall_prev, seam = 0, 0.0, None
+    if getattr(args, "resume_from", None):
+        curve, stale, step, start_epoch, wall_prev, seam = \
+            _load_resume_state(torch, args, model, optimizer, best)
+        if stale > args.early_stop:
+            start_epoch = args.epochs    # already early-stopped: LLs only
     t0 = time.perf_counter()
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         for batch in dl:
             train_step(torch, model, optimizer, batch, beta, prep, it=step)
             step += 1
@@ -235,19 +288,24 @@ def converged_run(torch, model, train, valid, batch_size, beta, prep,
         else:
             stale += 1
         if args.state_dir:
+            os.makedirs(args.state_dir, exist_ok=True)
+            _save_resume_state(torch, args.state_dir, model, optimizer)
             with open(os.path.join(args.state_dir,
                                    "progress.json"), "w") as f:
                 json.dump({"curve": curve, "stale": stale,
                            "best_recon": best["recon"],
                            "best_epoch": best["epoch"],
                            "steps_per_epoch": steps_per_epoch,
-                           "wall_s": round(time.perf_counter() - t0, 1)}, f)
+                           "wall_s": round(
+                               wall_prev + time.perf_counter() - t0, 1),
+                           "seam": seam}, f)
         print(json.dumps({**curve[-1], "stale": stale,
-                          "wall_s": round(time.perf_counter() - t0, 1)}),
+                          "wall_s": round(
+                              wall_prev + time.perf_counter() - t0, 1)}),
               flush=True)
         if stale > args.early_stop:
             break
-    wall = time.perf_counter() - t0
+    wall = wall_prev + time.perf_counter() - t0
     ll_final = iw_ll(torch, model, valid, args.ll_items, args.ll_samples)
     model.load_state_dict(best["state"])
     ll_best = iw_ll(torch, model, valid, args.ll_items, args.ll_samples)
@@ -260,7 +318,7 @@ def converged_run(torch, model, train, valid, batch_size, beta, prep,
             "iw_ll_final": round(ll_final, 2),
             "iw_ll_best_ckpt": round(ll_best, 2),
             "ll_items": args.ll_items, "ll_samples": args.ll_samples,
-            "train_wall_s": round(wall, 1), "curve": curve}
+            "train_wall_s": round(wall, 1), "seam": seam, "curve": curve}
 
 
 def main(argv=None):
@@ -285,6 +343,11 @@ def main(argv=None):
     p.add_argument("--finalize_from", default=None,
                    help="compute the best-ckpt IW-LL from a --state_dir "
                         "left by a killed converged run (no training)")
+    p.add_argument("--resume_from", default=None,
+                   help="converged mode: continue the epoch loop from a "
+                        "--state_dir left by a killed run (exact when the "
+                        "state is resume-aware; best-state seam with a "
+                        "fresh optimizer for pre-resume state dirs)")
     p.add_argument("--out", default=None, help="append JSON lines here")
     args = p.parse_args(argv)
 

@@ -128,10 +128,35 @@ def write_table(ours, torch_res, args, extra_rows=()):
     """extra_rows: additional (label, result-dict) framework rows (e.g.
     the float32 attribution run) appended after the main framework row."""
     def row(label, r):
+        def v(x):
+            return "—" if x is None else x
         return (f"| {label} | {r['epochs']} | {r['steps']} "
                 f"| {r['best_valid_recon']} (ep {r['best_epoch']}) "
-                f"| {r['final_valid_recon']} | {r['iw_ll_best_ckpt']} "
-                f"| {r['iw_ll_final']} | {r['train_wall_s'] / 60:.1f} min |")
+                f"| {v(r['final_valid_recon'])} | {v(r['iw_ll_best_ckpt'])} "
+                f"| {v(r['iw_ll_final'])} "
+                f"| {r['train_wall_s'] / 60:.1f} min |")
+
+    # a reference row finalized from persisted state (run killed by a
+    # session budget / host rotation) must say so: its epoch count is a
+    # lower bound, and there is no final-model IW-LL
+    torch_note = ""
+    if torch_res is not None and ("finalized" in str(torch_res["config"])
+                                  or torch_res.get("seam")):
+        torch_note = (
+            " NOTE: the reference row is a PARTIAL run — training was cut "
+            f"at epoch {torch_res['epochs']} by the session budget (stale "
+            f"{torch_res.get('stale_at_stop', '?')}/{args.early_stop}, "
+            "still improving), and its best-ckpt IW-LL was finalized from "
+            "the crash-safe persisted state (`--finalize_from`); the "
+            "epoch loop continues across sessions via `--resume_from "
+            "converged_state/torch`. Its IW-LL is an EARLY-TRAINING "
+            "number: the posterior is still broad at this stage, which "
+            "puts the LL in the smoke-scale regime (≈−30, matching both "
+            "sides' step-600 LLs in the pixel-parity table above) — not "
+            "comparable to the converged framework LLs below, which are "
+            "dominated by the concentrated posterior's pose precision."
+            + (f" Resume seam: {torch_res['seam']}."
+               if torch_res.get("seam") else ""))
 
     lines = [
         BEGIN,
@@ -158,7 +183,7 @@ def write_table(ours, torch_res, args, extra_rows=()):
         "precision ~5 recon units above fp32 at convergence on this "
         "config; float32 converges past the fp32 reference at a few "
         "hundred steps/s. Production recipe: explore in bf16, finish "
-        "(or re-run the winner) in float32.",
+        "(or re-run the winner) in float32." + torch_note,
         "",
         "| implementation | epochs | steps | best valid recon | final "
         "valid recon | IW-LL (best ckpt) | IW-LL (final) | train wall |",

@@ -267,3 +267,60 @@ def test_converged_compare_merge(tmp_path):
     rcc.main(["--merge", bf16, f32, "--torch_json", torch_out,
               "--out", out])
     assert open(out).read().count(rcc.BEGIN) == 1
+
+
+def test_torch_converged_resume_round_trip(tmp_path):
+    """bench_reference_torch's crash-safe state: _save_resume_state /
+    _load_resume_state restore weights, Adam moments, and the torch RNG
+    stream exactly (resume-aware format), and fall back to the best-only
+    seam for pre-resume state dirs."""
+    import json
+
+    import torch
+
+    from scripts import bench_reference_torch as brt
+
+    sd = str(tmp_path / "state")
+    os.makedirs(sd)
+    torch.manual_seed(7)
+    model = torch.nn.Linear(4, 3)
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3)
+    for _ in range(3):            # give Adam non-trivial moments
+        opt.zero_grad()
+        model(torch.randn(8, 4)).pow(2).mean().backward()
+        opt.step()
+    brt._save_resume_state(torch, sd, model, opt)
+    torch.save(model.state_dict(), os.path.join(sd, "best.pt"))
+    with open(os.path.join(sd, "progress.json"), "w") as f:
+        json.dump({"curve": [{"epoch": 4, "step": 95, "valid_recon": 31.0}],
+                   "stale": 2, "best_recon": 31.0, "best_epoch": 4,
+                   "steps_per_epoch": 19, "wall_s": 120.0,
+                   "seam": None}, f)
+    expect_next = torch.get_rng_state()     # stream position at save time
+
+    torch.manual_seed(0)                    # perturb the global stream
+    model2 = torch.nn.Linear(4, 3)
+    opt2 = torch.optim.Adam(model2.parameters(), lr=1e-3)
+    args = types.SimpleNamespace(resume_from=sd)
+    best = {"recon": float("inf"), "epoch": -1, "state": None}
+    curve, stale, step, start_epoch, wall_prev, seam = \
+        brt._load_resume_state(torch, args, model2, opt2, best)
+    assert (start_epoch, step, stale, wall_prev) == (5, 95, 2, 120.0)
+    assert seam is None
+    for a, b in zip(model.parameters(), model2.parameters()):
+        assert torch.equal(a, b)
+    s1, s2 = opt.state_dict()["state"], opt2.state_dict()["state"]
+    assert all(torch.equal(s1[k]["exp_avg"], s2[k]["exp_avg"])
+               for k in s1)
+    assert torch.equal(torch.get_rng_state(), expect_next)
+
+    # pre-resume format: only best.pt -> best-state seam, fresh optimizer
+    for f in ("last.pt", "optim.pt", "rng.pt"):
+        os.remove(os.path.join(sd, f))
+    model3 = torch.nn.Linear(4, 3)
+    opt3 = torch.optim.Adam(model3.parameters(), lr=1e-3)
+    best3 = {"recon": float("inf"), "epoch": -1, "state": None}
+    *_, seam3 = brt._load_resume_state(torch, args, model3, opt3, best3)
+    assert "best-only" in seam3
+    for a, b in zip(model.parameters(), model3.parameters()):
+        assert torch.equal(a, b)
