@@ -265,6 +265,16 @@ def converged_run(torch, model, train, valid, batch_size, beta, prep,
     if getattr(args, "resume_from", None):
         curve, stale, step, start_epoch, wall_prev, seam = \
             _load_resume_state(torch, args, model, optimizer, best)
+        with open(os.path.join(args.resume_from, "progress.json")) as f:
+            want_spe = json.load(f)["steps_per_epoch"]
+        if want_spe != steps_per_epoch:
+            # guards against silently continuing on the wrong dataset
+            # (e.g. bench.py's 256-image bootstrap render instead of the
+            # run's 2048-image set after a host rotation)
+            raise SystemExit(
+                f"resume dataset mismatch: state has {want_spe} "
+                f"steps/epoch but the current dataset yields "
+                f"{steps_per_epoch} — render the run's dataset first")
         if stale > args.early_stop:
             start_epoch = args.epochs    # already early-stopped: LLs only
     t0 = time.perf_counter()
