@@ -198,15 +198,27 @@ def iw_ll(torch, model, valid, n_items, n_samples):
     return float(np.mean(vals))
 
 
+def _atomic_save(torch, obj, path):
+    """torch.save to a temp file in the same dir, then os.replace into
+    place — a kill mid-save (the host-rotation scenario this state exists
+    for) can never leave a truncated .pt behind."""
+    tmp = path + ".tmp"
+    torch.save(obj, tmp)
+    os.replace(tmp, path)
+
+
 def _save_resume_state(torch, state_dir, model, optimizer):
     """Persist the LIVE training state (not just the best checkpoint) so a
     killed epoch loop continues exactly on a later host: model weights,
     Adam moments, and the torch RNG stream that drives both the DataLoader
-    shuffle and the reparameterization sampling."""
-    torch.save(model.state_dict(), os.path.join(state_dir, "last.pt"))
-    torch.save(optimizer.state_dict(), os.path.join(state_dir, "optim.pt"))
-    torch.save({"torch_rng": torch.get_rng_state()},
-               os.path.join(state_dir, "rng.pt"))
+    shuffle and the reparameterization sampling. Each file is written
+    atomically; progress.json is written last (by the caller) so it only
+    ever points at a complete, consistent state set."""
+    _atomic_save(torch, model.state_dict(), os.path.join(state_dir, "last.pt"))
+    _atomic_save(torch, optimizer.state_dict(),
+                 os.path.join(state_dir, "optim.pt"))
+    _atomic_save(torch, {"torch_rng": torch.get_rng_state()},
+                 os.path.join(state_dir, "rng.pt"))
 
 
 def _load_resume_state(torch, args, model, optimizer, best):
@@ -234,15 +246,18 @@ def _load_resume_state(torch, args, model, optimizer, best):
             torch.load(os.path.join(sd, "rng.pt"),
                        weights_only=True)["torch_rng"])
         seam = prog.get("seam")    # keep any seam from an earlier resume
+        best_only = False
     else:
         model.load_state_dict(best["state"])
         seam = (f"optimizer+RNG reset at epoch {start_epoch} (resumed "
                 f"from a best-only state_dict)")
+        best_only = True
     print(f"resuming converged run at epoch {start_epoch} "
           f"(best {best['recon']:.2f} @ {best['epoch']}, stale {stale}"
           + (f"; SEAM: {seam}" if seam else ", exact state") + ")",
           flush=True)
-    return curve, stale, step, start_epoch, prog.get("wall_s", 0.0), seam
+    return (curve, stale, step, start_epoch, prog.get("wall_s", 0.0), seam,
+            best_only)
 
 
 def converged_run(torch, model, train, valid, batch_size, beta, prep,
@@ -261,9 +276,9 @@ def converged_run(torch, model, train, valid, batch_size, beta, prep,
     steps_per_epoch = len(dl)
     best = {"recon": float("inf"), "epoch": -1, "state": None}
     curve, stale, step = [], 0, 0
-    start_epoch, wall_prev, seam = 0, 0.0, None
+    start_epoch, wall_prev, seam, best_only = 0, 0.0, None, False
     if getattr(args, "resume_from", None):
-        curve, stale, step, start_epoch, wall_prev, seam = \
+        curve, stale, step, start_epoch, wall_prev, seam, best_only = \
             _load_resume_state(torch, args, model, optimizer, best)
         with open(os.path.join(args.resume_from, "progress.json")) as f:
             want_spe = json.load(f)["steps_per_epoch"]
@@ -277,6 +292,10 @@ def converged_run(torch, model, train, valid, batch_size, beta, prep,
                 f"{steps_per_epoch} — render the run's dataset first")
         if stale > args.early_stop:
             start_epoch = args.epochs    # already early-stopped: LLs only
+    # best-only state + no training to run → the "final" model would just
+    # be a copy of the best checkpoint (the true final weights don't
+    # exist); report its LL as None instead of a silent duplicate
+    final_is_best_copy = best_only and start_epoch >= args.epochs
     t0 = time.perf_counter()
     for epoch in range(start_epoch, args.epochs):
         for batch in dl:
@@ -293,15 +312,17 @@ def converged_run(torch, model, train, valid, batch_size, beta, prep,
                 # persist the best state + progress so a killed run (host
                 # rotation, session budget) still yields the best-ckpt IW-LL
                 os.makedirs(args.state_dir, exist_ok=True)
-                torch.save(best["state"],
-                           os.path.join(args.state_dir, "best.pt"))
+                _atomic_save(torch, best["state"],
+                             os.path.join(args.state_dir, "best.pt"))
         else:
             stale += 1
         if args.state_dir:
             os.makedirs(args.state_dir, exist_ok=True)
             _save_resume_state(torch, args.state_dir, model, optimizer)
-            with open(os.path.join(args.state_dir,
-                                   "progress.json"), "w") as f:
+            # progress.json last + atomically: it is the resume manifest,
+            # so it must only ever describe fully-written .pt files
+            prog_tmp = os.path.join(args.state_dir, "progress.json.tmp")
+            with open(prog_tmp, "w") as f:
                 json.dump({"curve": curve, "stale": stale,
                            "best_recon": best["recon"],
                            "best_epoch": best["epoch"],
@@ -309,6 +330,8 @@ def converged_run(torch, model, train, valid, batch_size, beta, prep,
                            "wall_s": round(
                                wall_prev + time.perf_counter() - t0, 1),
                            "seam": seam}, f)
+            os.replace(prog_tmp,
+                       os.path.join(args.state_dir, "progress.json"))
         print(json.dumps({**curve[-1], "stale": stale,
                           "wall_s": round(
                               wall_prev + time.perf_counter() - t0, 1)}),
@@ -316,7 +339,11 @@ def converged_run(torch, model, train, valid, batch_size, beta, prep,
         if stale > args.early_stop:
             break
     wall = wall_prev + time.perf_counter() - t0
-    ll_final = iw_ll(torch, model, valid, args.ll_items, args.ll_samples)
+    if final_is_best_copy:
+        ll_final = None
+    else:
+        ll_final = round(iw_ll(torch, model, valid, args.ll_items,
+                               args.ll_samples), 2)
     model.load_state_dict(best["state"])
     ll_best = iw_ll(torch, model, valid, args.ll_items, args.ll_samples)
     return {"config": "4-spherecube-so3-action (torch reference, converged)",
@@ -325,7 +352,8 @@ def converged_run(torch, model, train, valid, batch_size, beta, prep,
             "best_valid_recon": round(best["recon"], 2),
             "best_epoch": best["epoch"],
             "final_valid_recon": curve[-1]["valid_recon"],
-            "iw_ll_final": round(ll_final, 2),
+            "stale_at_stop": stale,
+            "iw_ll_final": ll_final,
             "iw_ll_best_ckpt": round(ll_best, 2),
             "ll_items": args.ll_items, "ll_samples": args.ll_samples,
             "train_wall_s": round(wall, 1), "seam": seam, "curve": curve}
@@ -344,8 +372,12 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=300)
     p.add_argument("--early_stop", type=int, default=50)
     p.add_argument("--eval_every", type=int, default=100)
-    p.add_argument("--ll_items", type=int, default=32)
-    p.add_argument("--ll_samples", type=int, default=100)
+    # defaults match the published converged-compare protocol
+    # (run_converged_compare.py: n=500 IW samples on the first 50 valid
+    # items) so a default-flag finalize/converged run cannot publish a
+    # protocol-mismatched LL under the parity caption
+    p.add_argument("--ll_items", type=int, default=50)
+    p.add_argument("--ll_samples", type=int, default=500)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--state_dir", default=None,
                    help="converged mode: persist best state_dict + per-"

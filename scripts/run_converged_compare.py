@@ -138,25 +138,43 @@ def write_table(ours, torch_res, args, extra_rows=()):
 
     # a reference row finalized from persisted state (run killed by a
     # session budget / host rotation) must say so: its epoch count is a
-    # lower bound, and there is no final-model IW-LL
+    # lower bound, and there is no final-model IW-LL. A run that merely
+    # carries a resume seam but ran to genuine early stop is NOT partial —
+    # it gets only the seam disclosure.
     torch_note = ""
-    if torch_res is not None and ("finalized" in str(torch_res["config"])
-                                  or torch_res.get("seam")):
-        torch_note = (
-            " NOTE: the reference row is a PARTIAL run — training was cut "
-            f"at epoch {torch_res['epochs']} by the session budget (stale "
-            f"{torch_res.get('stale_at_stop', '?')}/{args.early_stop}, "
-            "still improving), and its best-ckpt IW-LL was finalized from "
-            "the crash-safe persisted state (`--finalize_from`); the "
-            "epoch loop continues across sessions via `--resume_from "
-            "converged_state/torch`. Its IW-LL is an EARLY-TRAINING "
-            "number: the posterior is still broad at this stage, which "
-            "puts the LL in the smoke-scale regime (≈−30, matching both "
-            "sides' step-600 LLs in the pixel-parity table above) — not "
-            "comparable to the converged framework LLs below, which are "
-            "dominated by the concentrated posterior's pose precision."
-            + (f" Resume seam: {torch_res['seam']}."
-               if torch_res.get("seam") else ""))
+    if torch_res is not None:
+        if "finalized" in str(torch_res["config"]):
+            ll = torch_res.get("iw_ll_best_ckpt")
+            torch_note = (
+                " NOTE: the reference row is a PARTIAL run — training was "
+                f"cut at epoch {torch_res['epochs']} by the session budget "
+                f"(stale {torch_res.get('stale_at_stop', '?')}/"
+                f"{args.early_stop}, still improving), and its best-ckpt "
+                "IW-LL was finalized from the crash-safe persisted state "
+                "(`--finalize_from`); the epoch loop continues across "
+                "sessions via `--resume_from converged_state/torch`. Its "
+                f"IW-LL ({ll}) comes from a not-yet-converged posterior "
+                "and is not directly comparable to the converged "
+                "framework LLs below."
+                + (f" Resume seam: {torch_res['seam']}."
+                   if torch_res.get("seam") else ""))
+        elif torch_res.get("seam"):
+            torch_note = f" Resume seam: {torch_res['seam']}."
+        # protocol guard: the caption above asserts n={args.ll_samples}
+        # IW samples on the first {args.ll_items} valid items — if the
+        # torch row was produced with different flags, say so explicitly
+        # rather than publishing a mismatched LL under a parity caption
+        t_items = torch_res.get("ll_items")
+        t_samples = torch_res.get("ll_samples")
+        if (t_items, t_samples) != (args.ll_items, args.ll_samples):
+            torch_note += (
+                f" PROTOCOL MISMATCH: the reference row's IW-LL used "
+                f"n={t_samples} samples on {t_items} items (not the "
+                f"n={args.ll_samples}/{args.ll_items} of the caption); "
+                "its LL column is not sample-for-sample comparable.")
+            print(f"WARNING: torch LL protocol mismatch: "
+                  f"({t_items},{t_samples}) vs "
+                  f"({args.ll_items},{args.ll_samples})", file=sys.stderr)
 
     lines = [
         BEGIN,
