@@ -96,6 +96,9 @@ def build_model(args, dataset, item_rep):
         mlp_activation=args.mlp_activation,
         fixed_sigma=args.fixed_sigma,
         compute_dtype=args.compute_dtype,
+        encoder_dtype=args.encoder_dtype,
+        decoder_dtype=args.decoder_dtype,
+        deconv_head_dtype=args.deconv_head_dtype,
         kernel_impl=args.kernel_impl,
         density_k=args.density_k,
         sigma_clamp=sigma_clamp_value(args),
@@ -305,6 +308,17 @@ def parse_args(argv=None):
     parser.add_argument("--compute_dtype", default=None,
                         help="conv/MLP compute dtype, e.g. bfloat16 "
                              "(params and Lie math stay float32)")
+    parser.add_argument("--encoder_dtype", default="unset",
+                        help="override compute_dtype for the encoder stack "
+                             "('bfloat16'|'float32'; default: follow "
+                             "--compute_dtype)")
+    parser.add_argument("--decoder_dtype", default="unset",
+                        help="override compute_dtype for the decoder "
+                             "(deconv/MLP) stack")
+    parser.add_argument("--deconv_head_dtype", default="unset",
+                        help="override dtype for just the final "
+                             "image-channel transpose conv (mixed recipe: "
+                             "bf16 stack, float32 pixel head)")
     parser.add_argument("--kernel_impl", default="xla",
                         help="[xla, fused, pallas, auto] impl of the "
                              "Lie-group ops ('fused' = single-Pallas-kernel "

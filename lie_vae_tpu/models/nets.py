@@ -165,6 +165,10 @@ class DeconvNet(nn.Module):
     hidden_dims: int
     rgb: bool = False
     dtype: Any = None    # compute dtype for convs (params stay fp32)
+    # override for the final image-channel layer only (mixed recipes: keep
+    # the stack in bf16 for MXU throughput but render the pixels in f32);
+    # None = same as dtype
+    head_dtype: Any = "unset"
     fast_head: bool = True
     fast_stack: bool = False  # phase-decompose the hidden k4s2 layers too
 
@@ -173,6 +177,7 @@ class DeconvNet(nn.Module):
         out_dims = 3 if self.rgb else 1
         h = self.hidden_dims
         d = self.dtype
+        hd = self.dtype if self.head_dtype == "unset" else self.head_dtype
         # NB: torch ConvTranspose2d's kaiming fan_in is weight.size(1)*k^2
         # = OUT-channels * 16, not in-channels (weight is (in, out, kH, kW))
         x = x.reshape(x.shape[0], 1, 1, self.in_dims)
@@ -186,10 +191,10 @@ class DeconvNet(nn.Module):
                             name=f"ConvTranspose_{i}")(x)
             x = nn.relu(y)
         if self.fast_head:
-            x = FastConvTranspose2x(out_dims, out_dims * 16, dtype=d,
+            x = FastConvTranspose2x(out_dims, out_dims * 16, dtype=hd,
                                     name="ConvTranspose_4")(x)
         else:
-            x = _deconv(out_dims, 4, 2, out_dims * 16, dtype=d,
+            x = _deconv(out_dims, 4, 2, out_dims * 16, dtype=hd,
                         name="ConvTranspose_4")(x)
         return x.astype(jnp.float32)
 

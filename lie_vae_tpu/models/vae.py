@@ -66,6 +66,15 @@ class LieVAE(nn.Module):
     # ('bfloat16' for the MXU fast path); params, Lie-group math, densities
     # and losses stay float32. None = full float32.
     compute_dtype: Optional[str] = None
+    # per-stack overrides for mixed recipes (attribution of the bf16
+    # convergence penalty and the production mixed mode). Each is a dtype
+    # name ('bfloat16' | 'float32') or the sentinel 'unset' meaning
+    # "follow compute_dtype". deconv_head_dtype controls only the final
+    # image-channel transpose conv (pixels rendered at this precision
+    # while the hidden stack stays on the bf16 MXU path).
+    encoder_dtype: Optional[str] = "unset"
+    decoder_dtype: Optional[str] = "unset"
+    deconv_head_dtype: Optional[str] = "unset"
     # 'xla' | 'pallas' | 'auto': implementation of the fused Lie-group hot
     # ops (block-Wigner apply + wrapped log-density); both impls are
     # differentiable (the Pallas kernels carry custom-VJP backward kernels)
@@ -112,17 +121,27 @@ class LieVAE(nn.Module):
     def setup(self):
         in_dims = self._in_dims()
         act = ACTIVATIONS[self.mlp_activation]
-        cdt = (jnp.dtype(self.compute_dtype)
-               if self.compute_dtype is not None else None)
+
+        def _dt(override):
+            name = self.compute_dtype if override == "unset" else override
+            if name is None or name == "none":
+                return None
+            return jnp.dtype(name)
+
+        cdt_enc = _dt(self.encoder_dtype)
+        cdt_dec = _dt(self.decoder_dtype)
+        # head default: follow the decoder stack's dtype
+        hdt = (cdt_dec if self.deconv_head_dtype == "unset"
+               else _dt(self.deconv_head_dtype))
 
         # encoder (vae.py:56-70)
         if self.encode_mode == "conv":
             self.encoder = ConvEncoder(in_dims, hidden_dims=self.conv_hidden,
                                        rgb=self.rgb,
                                        batch_norm=self.batch_norm,
-                                       dtype=cdt)
+                                       dtype=cdt_enc)
         elif self.encode_mode == "toy":
-            self.encoder = MLP(in_dims, 100, 2, act, dtype=cdt)
+            self.encoder = MLP(in_dims, 100, 2, act, dtype=cdt_enc)
         else:
             raise ValueError("Wrong encode mode")
 
@@ -148,7 +167,8 @@ class LieVAE(nn.Module):
         matrix_dims = (self.degrees + 1) ** 2
         if self.deconv_mode == "deconv":
             deconv = DeconvNet(matrix_dims * self.rep_copies,
-                               self.deconv_hidden, rgb=self.rgb, dtype=cdt)
+                               self.deconv_hidden, rgb=self.rgb,
+                               dtype=cdt_dec, head_dtype=hdt)
         elif self.deconv_mode == "toy":
             deconv = None
         else:
@@ -166,7 +186,7 @@ class LieVAE(nn.Module):
                 degrees=self.degrees, deconv=deconv,
                 in_dims=self.group_dims, rep_copies=self.rep_copies,
                 layers=self.mlp_layers, hidden_dims=self.mlp_hidden,
-                activation=act, dtype=cdt)
+                activation=act, dtype=cdt_dec)
         else:
             raise ValueError("Wrong decoder mode")
 

@@ -25,6 +25,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 BEGIN = "<!-- chip-rates:begin -->"
 END = "<!-- chip-rates:end -->"
 
+# config-4 precision variants: model-dtype kwargs on top of the bf16
+# default (the throughput side of the converged bf16-vs-f32 study)
+PRECISIONS = {
+    "float32": {"compute_dtype": "float32"},
+    "f32enc": {"encoder_dtype": "float32"},
+    "f32dec": {"decoder_dtype": "float32"},
+    "f32head": {"deconv_head_dtype": "float32"},
+}
+PRECISION_LABELS = {
+    "float32": "float32 everywhere",
+    "f32enc": "mixed: f32 encoder, bf16 decoder",
+    "f32dec": "mixed: bf16 encoder, f32 decoder",
+    "f32head": "mixed: bf16 stacks, f32 image head",
+}
+
 
 def chip_rate(exp, n_calls):
     """Steps/sec of the experiment's own compiled multi-step program."""
@@ -70,6 +85,12 @@ def main(argv=None):
     p.add_argument("--n_images", type=int, default=2048)
     p.add_argument("--n_pairs", type=int, default=512)
     p.add_argument("--compute_dtype", default="bfloat16")
+    p.add_argument("--precision_rows", nargs="*", default=[],
+                   metavar="NAME",
+                   help="extra precision-variant rows for config 4 "
+                        f"(choices: {sorted(PRECISIONS)}) — the "
+                        "throughput side of the bf16-vs-f32 convergence "
+                        "study (converged-compare table)")
     p.add_argument("--out", default="BENCHMARKS.md")
     args = p.parse_args(argv)
 
@@ -87,6 +108,7 @@ def main(argv=None):
     import jax
     print(f"backend: {jax.default_backend()}, scan_k={args.scan_k}")
     results = {}
+    descriptions = dict(CONFIG_DESCRIPTIONS)
     for key in args.configs:
         name = names[key]
         exp = build(name, BuildArgs)
@@ -98,11 +120,39 @@ def main(argv=None):
                          "recon_after": round(last_recon, 2)}
         print(name, json.dumps(results[name]), flush=True)
         del exp
-        write_table(results, args)
+        write_table(results, args, descriptions)
+
+    for pname in args.precision_rows:
+        class PArgs(BuildArgs):
+            pass
+        for k, v in PRECISIONS[pname].items():
+            setattr(PArgs, k, v)
+        exp = build("4-spherecube-so3-action", PArgs)
+        sps, last_recon = chip_rate(exp, args.n_calls)
+        batch = exp.train_loader.batch_size
+        rname = f"4-spherecube-so3-action ({pname})"
+        descriptions[rname] = (CONFIG_DESCRIPTIONS["4-spherecube-so3-action"]
+                               + f" — {PRECISION_LABELS[pname]}")
+        results[rname] = {"chip_steps_per_sec": round(sps, 1),
+                          "chip_samples_per_sec": round(sps * batch),
+                          "batch": batch,
+                          "recon_after": round(last_recon, 2)}
+        print(rname, json.dumps(results[rname]), flush=True)
+        del exp
+        write_table(results, args, descriptions)
+
+    # persist + refresh the unified five-config BASELINE table (chip
+    # column primary, wall secondary)
+    from scripts._results_table import (update_baseline_store,
+                                        write_baseline_sweep)
+    store = update_baseline_store(
+        "chip", results, meta={"scan_k": args.scan_k,
+                               "compute_dtype": args.compute_dtype})
+    write_baseline_sweep(store, args.out, descriptions)
     return results
 
 
-def write_table(results, args):
+def write_table(results, args, descriptions=None):
     from scripts._results_table import merge_marker_table
     from scripts.run_baseline_configs import CONFIG_DESCRIPTIONS
 
@@ -117,14 +167,15 @@ def write_table(results, args):
             "TPU chip — the experiment harness's own compiled "
             f"scan-of-{args.scan_k} train program (config 5 includes the "
             "equivariance second encoder pass + continuity loss), "
-            "device-resident data, queue drained by scalar readback. "
-            "Unlike the wall-clock column in the five-config table above "
-            "(2-3x session variance from the tunneled runtime's dispatch "
-            "latency), these numbers are session-stable chip throughput. "
-            f"compute_dtype={args.compute_dtype}. Driven by "
+            "device-resident data, queue drained by scalar readback — "
+            "session-stable chip throughput (these are the quotable "
+            "numbers; the unified five-config table above carries this "
+            "column too). compute_dtype="
+            f"{args.compute_dtype} unless a row says otherwise. Driven by "
             "`scripts/bench_chip_rates.py`."),
         header=("| config | batch | chip steps/s | chip samples/s |"),
-        descriptions=CONFIG_DESCRIPTIONS, results=results, format_row=row,
+        descriptions=descriptions or CONFIG_DESCRIPTIONS, results=results,
+        format_row=row,
         section_title="Chip rates, all BASELINE configs")
 
 

@@ -51,7 +51,13 @@ def build(config_name, args):
 
     common_img = dict(encode_mode="conv", deconv_mode="deconv", rgb=True,
                       degrees=6, rep_copies=10, deconv_hidden=200,
-                      batch_norm=True, compute_dtype=args.compute_dtype)
+                      batch_norm=True, compute_dtype=args.compute_dtype,
+                      # per-stack mixed-precision overrides (defaults
+                      # follow compute_dtype; see LieVAE.encoder_dtype)
+                      encoder_dtype=getattr(args, "encoder_dtype", "unset"),
+                      decoder_dtype=getattr(args, "decoder_dtype", "unset"),
+                      deconv_head_dtype=getattr(args, "deconv_head_dtype",
+                                                "unset"))
     kw = dict(batch_size=64, report_freq=10 ** 9, lr=1e-3, clip_grads=1e-5,
               steps_per_call=args.steps_per_call,
               device_data=args.device_data)
@@ -166,56 +172,17 @@ def main(argv=None):
     for name in args.configs:
         results[name] = run(name, args)
 
-    lines = [
-        f"Backend: {jax.default_backend()}; compute_dtype="
-        f"{args.compute_dtype}, steps_per_call={args.steps_per_call}; "
-        "spherecube data from the in-repo renderer "
-        f"({args.n_images} images / {args.n_pairs} pairs).",
-        "",
-        "| config | steps | steps/s | recon start | recon end | KL end |",
-        "|---|---|---|---|---|---|",
-    ]
-    # merge with any previously-published rows so a --configs subset run
-    # does not silently drop the other configs' results
-    begin, end_marker = ("<!-- baseline-sweep:begin -->",
-                         "<!-- baseline-sweep:end -->")
-    old_rows = {}
-    if os.path.exists(args.out):
-        old = open(args.out).read()
-        if begin in old and end_marker in old:
-            for row in old.split(begin)[1].split(end_marker)[0].splitlines():
-                if row.startswith("| ") and not row.startswith("| config"):
-                    old_rows[row.split("|")[1].strip()] = row
-    for name in CONFIG_DESCRIPTIONS:
-        desc = CONFIG_DESCRIPTIONS[name]
-        if name in results:
-            r = results[name]
-            lines.append(
-                f"| {desc} | {r['steps']} | "
-                f"{r['steps_per_sec']} | {r['recon_first']} | "
-                f"{r['recon_last']} | {r['kl_last']} |")
-        elif desc in old_rows:
-            lines.append(old_rows[desc])
-    table = "\n".join(lines) + "\n"
-
-    # Rewrite only the marked section so the rest of BENCHMARKS.md
-    # (convergence curves, kernel/eval tables, notes) is preserved.
-    end = end_marker
-    block = f"{begin}\n{table}{end}"
-    if os.path.exists(args.out):
-        doc = open(args.out).read()
-        if begin in doc and end in doc:
-            pre = doc.split(begin)[0]
-            post = doc.split(end, 1)[1]
-            doc = pre + block + post
-        else:
-            doc = doc.rstrip() + "\n\n" + block + "\n"
-    else:
-        doc = ("# BENCHMARKS — BASELINE.json configs on one TPU chip\n\n"
-               + block + "\n")
-    with open(args.out, "w") as f:
-        f.write(doc)
-    print(f"wrote {args.out}")
+    # persist into the shared store and render the unified table (chip
+    # steps/s primary when bench_chip_rates has populated its side)
+    from scripts._results_table import (update_baseline_store,
+                                        write_baseline_sweep)
+    store = update_baseline_store(
+        "wall", results,
+        meta={"compute_dtype": args.compute_dtype,
+              "steps_per_call": args.steps_per_call,
+              "n_images": args.n_images, "n_pairs": args.n_pairs,
+              "backend": jax.default_backend()})
+    write_baseline_sweep(store, args.out, CONFIG_DESCRIPTIONS)
 
 
 if __name__ == "__main__":

@@ -52,7 +52,10 @@ def run_framework(args):
                    mean_mode="s2s2", encode_mode="conv",
                    deconv_mode="deconv", rgb=True, degrees=6,
                    rep_copies=10, deconv_hidden=200, batch_norm=True,
-                   compute_dtype=args.compute_dtype)
+                   compute_dtype=args.compute_dtype,
+                   encoder_dtype=args.encoder_dtype,
+                   decoder_dtype=args.decoder_dtype,
+                   deconv_head_dtype=args.deconv_head_dtype)
     exp = UnsupervisedExperiment(
         model=model, train_dataset=train, test_dataset=valid,
         beta_schedule=ConstantSchedule(1.0), batch_size=64,
@@ -97,8 +100,15 @@ def run_framework(args):
             lambda t, s: s.astype(t.dtype), exp.state.batch_stats,
             best["state"]["batch_stats"]))
     ll_best = exp.log_likelihood(ll_subset, **ll_kw)
+    precision = args.compute_dtype or "float32"
+    overrides = [f"{k}={v}" for k, v in
+                 (("enc", args.encoder_dtype), ("dec", args.decoder_dtype),
+                  ("head", args.deconv_head_dtype)) if v != "unset"]
+    if overrides:
+        precision += " (" + ", ".join(overrides) + ")"
     return {"config": "4-spherecube-so3-action (lie_vae_tpu, converged)",
             "compute_dtype": args.compute_dtype,
+            "precision": precision,
             "steps": (len(curve)) * steps_per_epoch, "epochs": len(curve),
             "steps_per_epoch": steps_per_epoch,
             "best_valid_recon": round(best["recon"], 2),
@@ -238,6 +248,10 @@ def main(argv=None):
     p.add_argument("--ll_chunk", type=int, default=50)
     p.add_argument("--steps_per_call", type=int, default=19)
     p.add_argument("--compute_dtype", default="bfloat16")
+    p.add_argument("--encoder_dtype", default="unset",
+                   help="per-stack override (attribution/mixed recipes)")
+    p.add_argument("--decoder_dtype", default="unset")
+    p.add_argument("--deconv_head_dtype", default="unset")
     p.add_argument("--torch_json", default=None,
                    help="bench_reference_torch --out file with the "
                         "converged torch-side result")
@@ -259,9 +273,15 @@ def main(argv=None):
                      else None)
         labels = {"bfloat16": "lie_vae_tpu (1 TPU chip, bf16 compute)",
                   "float32": "lie_vae_tpu (1 TPU chip, float32 compute)"}
-        extra = [(labels.get(r.get("compute_dtype", ""),
-                             r.get("compute_dtype", "extra")), r)
-                 for r in rows[1:]]
+
+        def label(r):
+            p = r.get("precision")
+            if p and p not in labels:
+                return f"lie_vae_tpu (1 TPU chip, {p})"
+            return labels.get(r.get("compute_dtype", ""),
+                              r.get("compute_dtype", "extra"))
+
+        extra = [(label(r), r) for r in rows[1:]]
         write_table(rows[0], torch_res, args, extra_rows=extra)
         return
 

@@ -301,3 +301,51 @@ def test_sigma_clamp_cli_value():
                        "--density_k", "10"])
     import math
     assert abs(sigma_clamp_value(args) - math.pi * 5) < 1e-9
+
+
+def test_per_stack_dtype_overrides():
+    """Mixed-precision knobs: encoder_dtype/decoder_dtype/deconv_head_dtype
+    override compute_dtype per stack (attribution of the bf16 convergence
+    penalty; BENCHMARKS converged-compare table).
+
+    Overriding every stack to float32 must reproduce the full-f32 model
+    to f32 roundoff (the explicit no-op converts shift XLA fusion
+    boundaries, so bitwise equality is not guaranteed); overriding only
+    the decoder must reproduce f32 pixels from bf16-encoder latents
+    (same params, deterministic mode)."""
+    kw = dict(latent_mode="so3", decoder_mode="action", mean_mode="s2s2",
+              encode_mode="conv", deconv_mode="deconv", rgb=True,
+              degrees=2, deconv_hidden=8, rep_copies=2, deterministic=True)
+    x = jnp.linspace(0, 1, 2 * 64 * 64 * 3).reshape(2, 64, 64, 3)
+
+    f32 = LieVAE(compute_dtype=None, **kw)
+    variables, (out_f32, _) = _init_and_run(f32, x)
+
+    def run(model):
+        out, _ = model.apply(variables, x, n=1, train=True,
+                             rngs={"sample": jax.random.PRNGKey(2)},
+                             mutable=["batch_stats"])
+        return out[0]
+
+    # all-stack override == full f32 up to roundoff
+    all_f32 = LieVAE(compute_dtype="bfloat16", encoder_dtype="float32",
+                     decoder_dtype="float32", **kw)
+    err_all = float(jnp.abs(run(all_f32) - out_f32).max())
+    assert err_all < 1e-5, err_all
+
+    # bf16 everywhere differs from f32 far beyond f32 roundoff (sanity
+    # that the knob does cast)
+    bf16 = LieVAE(compute_dtype="bfloat16", **kw)
+    err_bf16_sanity = float(jnp.abs(run(bf16) - out_f32).max())
+    assert err_bf16_sanity > 100 * max(err_all, 1e-7)
+
+    # decoder-only f32: pixels closer to f32 than the all-bf16 model
+    decf32 = LieVAE(compute_dtype="bfloat16", decoder_dtype="float32", **kw)
+    err_dec = float(jnp.abs(run(decf32) - out_f32).max())
+    err_bf16 = float(jnp.abs(run(bf16) - out_f32).max())
+    assert err_dec <= err_bf16
+
+    # head-only override builds and runs
+    headf32 = LieVAE(compute_dtype="bfloat16", deconv_head_dtype="float32",
+                     **kw)
+    assert np.isfinite(np.asarray(run(headf32))).all()
