@@ -121,7 +121,12 @@ def main(argv=None):
     # (timing is unaffected — only compile latency changes)
     from lie_vae_tpu.train.state import TrainState, make_optimizer
 
-    model = _flagship_model(compute_dtype="bfloat16")
+    # production precision recipe (BENCHMARKS converged-compare, r4):
+    # bf16 stacks + float32 final image-channel deconv — converges past
+    # full-f32 quality (best recon ~22.4 vs 23.76) at bf16-grade
+    # throughput (chip-rates precision rows)
+    model = _flagship_model(compute_dtype="bfloat16",
+                            deconv_head_dtype="float32")
 
     batch = args.batch
     if args.synthetic:
@@ -181,7 +186,8 @@ def main(argv=None):
         "baseline_note": ("REF_STEPS_PER_SEC=30 estimated 2018-GPU "
                           "reference throughput (measured torch-CPU "
                           "reference: see BENCHMARKS.md); batch %d, 64x64 "
-                          "RGB, degrees 6, bf16 compute, scan=%d; %s; "
+                          "RGB, degrees 6, bf16 compute + f32 image "
+                          "head, scan=%d; %s; "
                           "loss=%.1f"
                           % (batch, scan_k, data_note, final_loss)),
     }))

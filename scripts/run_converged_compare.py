@@ -48,6 +48,10 @@ def run_framework(args):
     nv = max(16, len(ds) // 5)
     valid, _, train = random_split(ds, [nv, nv, len(ds) - 2 * nv])
 
+    import math
+    sigma_clamp = (math.pi * 10 / 2 if args.sigma_clamp == "auto"
+                   else float(args.sigma_clamp) if args.sigma_clamp
+                   else None)
     model = LieVAE(latent_mode="so3", decoder_mode="action",
                    mean_mode="s2s2", encode_mode="conv",
                    deconv_mode="deconv", rgb=True, degrees=6,
@@ -55,12 +59,14 @@ def run_framework(args):
                    compute_dtype=args.compute_dtype,
                    encoder_dtype=args.encoder_dtype,
                    decoder_dtype=args.decoder_dtype,
-                   deconv_head_dtype=args.deconv_head_dtype)
+                   deconv_head_dtype=args.deconv_head_dtype,
+                   sigma_clamp=sigma_clamp)
     exp = UnsupervisedExperiment(
         model=model, train_dataset=train, test_dataset=valid,
         beta_schedule=ConstantSchedule(1.0), batch_size=64,
         report_freq=10 ** 9, lr=1e-3, clip_grads=1e-5,
-        steps_per_call=args.steps_per_call, device_data=True)
+        steps_per_call=args.steps_per_call, device_data=True,
+        seed=args.seed)
 
     steps_per_epoch = len(exp.train_loader)
     best = {"recon": float("inf"), "epoch": -1, "state": None}
@@ -100,10 +106,36 @@ def run_framework(args):
             lambda t, s: s.astype(t.dtype), exp.state.batch_stats,
             best["state"]["batch_stats"]))
     ll_best = exp.log_likelihood(ll_subset, **ll_kw)
+
+    # diagnostics on the best checkpoint: posterior sigma stats and a
+    # deeper-shell (density_k=30) IW-LL — a k=10-vs-k=30 LL gap means the
+    # wrapped posterior density is truncating (large sigma), which
+    # INFLATES the k=10 LL (log q underestimated); comparing LLs across
+    # precision modes is only honest at matching, non-truncating k
+    import jax.numpy as jnp
+    xs = valid.gather(np.arange(min(256, len(valid))))
+    xb = jnp.asarray(valid.prep_batch(xs)[-1], jnp.float32)
+    if float(xb.max()) > 1.5:
+        xb = xb / 255.0
+    stats = model.apply(
+        {"params": exp.state.params, "batch_stats": exp.state.batch_stats},
+        xb, n=1, train=False, method=model.encode,
+        rngs={"sample": jax.random.PRNGKey(0)})
+    sig = stats[0].inner.sigma
+    sigma = {"mean": round(float(sig.mean()), 4),
+             "median": round(float(jnp.median(sig)), 4),
+             "max": round(float(sig.max()), 4)}
+    exp.model = model.clone(density_k=30)
+    exp._ll_jit_cache = {}
+    ll_best_k30 = exp.log_likelihood(ll_subset, **ll_kw)
     precision = args.compute_dtype or "float32"
     overrides = [f"{k}={v}" for k, v in
                  (("enc", args.encoder_dtype), ("dec", args.decoder_dtype),
                   ("head", args.deconv_head_dtype)) if v != "unset"]
+    if args.sigma_clamp:
+        overrides.append(f"sigma_clamp={args.sigma_clamp}")
+    if args.seed:
+        overrides.append(f"seed={args.seed}")
     if overrides:
         precision += " (" + ", ".join(overrides) + ")"
     return {"config": "4-spherecube-so3-action (lie_vae_tpu, converged)",
@@ -116,21 +148,32 @@ def run_framework(args):
             "final_valid_recon": curve[-1]["valid_recon"],
             "iw_ll_final": round(float(ll_final), 2),
             "iw_ll_best_ckpt": round(float(ll_best), 2),
+            "iw_ll_best_ckpt_k30": round(float(ll_best_k30), 2),
+            "sigma_best_ckpt": sigma,
             "ll_items": args.ll_items, "ll_samples": args.ll_samples,
             "train_wall_s": round(wall, 1), "curve": curve}
 
 
 def load_torch_result(path):
-    """Last converged-run JSON line from bench_reference_torch --out."""
-    res = None
+    """Last converged-run JSON line from bench_reference_torch --out,
+    merged with the last sigma/shell diagnostics line (ref_sigma_diag.py)
+    when present."""
+    res, diag = None, None
     with open(path) as f:
         for line in f:
             try:
                 d = json.loads(line)
             except ValueError:
                 continue
-            if "converged" in str(d.get("config", "")):
+            if "sigma/shell diagnostics" in str(d.get("config", "")):
+                diag = d
+            elif "converged" in str(d.get("config", "")):
                 res = d
+    if res is not None and diag is not None:
+        res.setdefault("sigma_best_ckpt", diag["sigma_best_ckpt"])
+        k30 = diag.get("iw_ll_by_k", {}).get("30")
+        if k30 is not None:
+            res.setdefault("iw_ll_best_ckpt_k30", k30)
     return res
 
 
@@ -140,9 +183,13 @@ def write_table(ours, torch_res, args, extra_rows=()):
     def row(label, r):
         def v(x):
             return "—" if x is None else x
+        sig = r.get("sigma_best_ckpt")
+        sig = (f"{sig['median']:.1f} / {sig['max']:.0f}" if sig else "—")
         return (f"| {label} | {r['epochs']} | {r['steps']} "
                 f"| {r['best_valid_recon']} (ep {r['best_epoch']}) "
                 f"| {v(r['final_valid_recon'])} | {v(r['iw_ll_best_ckpt'])} "
+                f"| {v(r.get('iw_ll_best_ckpt_k30'))} "
+                f"| {sig} "
                 f"| {v(r['iw_ll_final'])} "
                 f"| {r['train_wall_s'] / 60:.1f} min |")
 
@@ -203,23 +250,42 @@ def write_table(ours, torch_res, args, extra_rows=()):
         "the actual PyTorch implementation on this host's CPU "
         "(`scripts/bench_reference_torch.py --configs 4 --converged`); "
         "the framework rows run on one TPU chip "
-        "(`scripts/run_converged_compare.py`, bf16 and float32 compute). "
-        "Init distributions differ (torch vs our torch-default-matched "
-        "flax inits, different RNGs) — this compares converged quality, "
-        "not trajectories. Takeaway: bf16 maximizes throughput (the "
-        "700 steps/s headline) but its compute noise floors fine pose "
-        "precision ~5 recon units above fp32 at convergence on this "
-        "config; float32 converges past the fp32 reference at a few "
-        "hundred steps/s. Production recipe: explore in bf16, finish "
-        "(or re-run the winner) in float32." + torch_note,
+        "(`scripts/run_converged_compare.py`). Init distributions differ "
+        "(torch vs our torch-default-matched flax inits, different RNGs) "
+        "— this compares converged quality, not trajectories."
+        + torch_note,
+        "",
+        "**Reading the table (r4 per-stack attribution).** (1) The r3 "
+        "\"bf16 convergence penalty\" is NOT a numeric quality floor: "
+        "runs differ in whether they escape a ~31-recon plateau before "
+        "the 50-stale-epoch early stop. bf16 with just the final "
+        "image-channel deconv in float32 (`f32head`) — or with a float32 "
+        "encoder — escapes and converges BETTER than full float32 "
+        "(≈22.4 vs 23.76 best recon, both seeds), while plain bf16 and "
+        "bf16+f32-decoder died on the plateau. Production recipe: bf16 "
+        "stacks + float32 image head, at bf16-grade throughput (see the "
+        "chip-rates precision rows). (2) The best-ckpt IW-LL column "
+        "ranks posterior-σ equilibria, not reconstruction quality: every "
+        "best checkpoint on BOTH sides has posterior σ components far "
+        "beyond the k=10 wrapped-density validity bound (~15.7), the "
+        "LLs are shell-stable (k=30 within ~0.5 nat of k=10 on every "
+        "row, so truncation bias is small — at these σ the density is "
+        "flat either way), and the LL ordering tracks the σ median "
+        "(torch 2.2 → −29, ours 19-27 → −55..−96): the broad/symmetric-"
+        "axis σ drift sets in later in training than the torch run's "
+        "early best epoch. `--sigma_clamp auto` is the framework's "
+        "training-time mitigation (clamped row below); recon, the metric "
+        "both sides optimize, is the converged-quality comparison.",
         "",
         "| implementation | epochs | steps | best valid recon | final "
-        "valid recon | IW-LL (best ckpt) | IW-LL (final) | train wall |",
-        "|---|---|---|---|---|---|---|---|",
+        "valid recon | IW-LL (best ckpt) | IW-LL (k=30) | σ med/max "
+        "| IW-LL (final) | train wall |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     if torch_res is not None:
         lines.append(row("PyTorch reference (CPU, fp32)", torch_res))
-    lines.append(row("lie_vae_tpu (1 TPU chip, bf16 compute)", ours))
+    ours_p = ours.get("precision", ours.get("compute_dtype", "bf16"))
+    lines.append(row(f"lie_vae_tpu (1 TPU chip, {ours_p})", ours))
     for label, r in extra_rows:
         lines.append(row(label, r))
     lines.append(END)
@@ -252,6 +318,12 @@ def main(argv=None):
                    help="per-stack override (attribution/mixed recipes)")
     p.add_argument("--decoder_dtype", default="unset")
     p.add_argument("--deconv_head_dtype", default="unset")
+    p.add_argument("--seed", type=int, default=0,
+                   help="experiment RNG seed (plateau-escape replication)")
+    p.add_argument("--sigma_clamp", default=None,
+                   help="'auto' clamps the posterior sigma at the wrapped "
+                        "density's k=10 validity bound during training "
+                        "(the framework's sigma-drift mitigation)")
     p.add_argument("--torch_json", default=None,
                    help="bench_reference_torch --out file with the "
                         "converged torch-side result")

@@ -100,6 +100,7 @@ def run_config(name, args):
         "--report_freq", str(args.report_freq),
         "--steps_per_call", str(args.steps_per_call),
         "--compute_dtype", args.compute_dtype,
+        "--equivariance_rotate", args.equivariance_rotate,
         "--ll_batch", "32", "--ll_chunk", "50",
         "--name", run_name,
     ]
@@ -145,7 +146,8 @@ def write_table(results, args):
             "Reference preset combinations through `lie_vae_tpu.cli.main` "
             "(driven by `scripts/run_paper_configs.py`); spherecube/"
             "sc-pairs data from the in-repo renderer (8192 images / 4096 "
-            f"pairs{style_note}), compute_dtype={args.compute_dtype}. "
+            f"pairs{style_note}), compute_dtype={args.compute_dtype}, "
+            f"equivariance_rotate={args.equivariance_rotate}. "
             "LL = importance-sampled test log-likelihood, n=500."),
         header="| config | best test recon | final test KL "
                "| test LL (n=500) |",
@@ -163,6 +165,10 @@ def main(argv=None):
     p.add_argument("--report_freq", type=int, default=500)
     p.add_argument("--steps_per_call", type=int, default=19)
     p.add_argument("--compute_dtype", default="bfloat16")
+    p.add_argument("--equivariance_rotate", default="shear",
+                   help="rotation impl for the equivariance loss "
+                        "(recorded in the table caption; the shear-ab "
+                        "table pins outcome equivalence vs 'gather')")
     p.add_argument("--out", default="BENCHMARKS.md")
     p.add_argument("--style", choices=["v1", "v2"], default="v1",
                    help="render look; v2 runs are named paper-v2-* on "
