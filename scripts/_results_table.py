@@ -21,6 +21,15 @@ def read_ll(run_name, path="ll.txt"):
     return ll
 
 
+def _pose_pin_note(data_dir):
+    """'; poses pinned (...)' when the dataset renders from a committed
+    manifest — absolute numbers then compare across rounds/hosts."""
+    base = os.path.basename(os.path.normpath(data_dir or ""))
+    if os.path.exists(os.path.join("data_poses", base + ".npz")):
+        return f"; poses pinned (data_poses/{base}.npz)"
+    return ""
+
+
 BASELINE_STORE = "converged_state/baseline_tables.json"
 
 

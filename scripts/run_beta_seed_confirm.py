@@ -70,7 +70,7 @@ def run_cell(cell, seed, args):
 
 def write_table(results, args):
     """results: {(cell, seed): row dict}."""
-    from scripts._results_table import merge_marker_table
+    from scripts._results_table import (_pose_pin_note, merge_marker_table)
 
     k_lo, k_hi = args.density_k[0], args.density_k[-1]
 
@@ -121,7 +121,8 @@ def write_table(results, args):
         args.out, BEGIN, END,
         caption=(
             "Multi-seed confirmation of the KL-sweep's β=0.5 result at "
-            f"scaled capacity (conv 100 / deconv 400) on {args.data_dir}, "
+            f"scaled capacity (conv 100 / deconv 400) on {args.data_dir}"
+            f"{_pose_pin_note(args.data_dir)}, "
             f"batch 64, early stop {args.max_early_stop} stale epochs (cap "
             f"{args.epochs}), compute_dtype={args.compute_dtype}. "
             "'best-ckpt LL' re-evaluates the best-validation checkpoint "

@@ -284,8 +284,11 @@ def write_table(ours, torch_res, args, extra_rows=()):
     ]
     if torch_res is not None:
         lines.append(row("PyTorch reference (CPU, fp32)", torch_res))
-    ours_p = ours.get("precision", ours.get("compute_dtype", "bf16"))
-    lines.append(row(f"lie_vae_tpu (1 TPU chip, {ours_p})", ours))
+    known = {"bfloat16": "lie_vae_tpu (1 TPU chip, bf16 compute)",
+             "float32": "lie_vae_tpu (1 TPU chip, float32 compute)"}
+    ours_p = ours.get("precision") or ours.get("compute_dtype") or "bf16"
+    lines.append(row(known.get(ours_p, f"lie_vae_tpu (1 TPU chip, "
+                                       f"{ours_p})"), ours))
     for label, r in extra_rows:
         lines.append(row(label, r))
     lines.append(END)

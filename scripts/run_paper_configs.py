@@ -147,7 +147,8 @@ def write_table(results, args):
             "(driven by `scripts/run_paper_configs.py`); spherecube/"
             "sc-pairs data from the in-repo renderer (8192 images / 4096 "
             f"pairs{style_note}), compute_dtype={args.compute_dtype}, "
-            f"equivariance_rotate={args.equivariance_rotate}. "
+            "equivariance_rotate="
+            f"{getattr(args, 'equivariance_rotate', 'shear')}. "
             "LL = importance-sampled test log-likelihood, n=500."),
         header="| config | best test recon | final test KL "
                "| test LL (n=500) |",

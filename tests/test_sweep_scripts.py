@@ -303,10 +303,10 @@ def test_torch_converged_resume_round_trip(tmp_path):
     opt2 = torch.optim.Adam(model2.parameters(), lr=1e-3)
     args = types.SimpleNamespace(resume_from=sd)
     best = {"recon": float("inf"), "epoch": -1, "state": None}
-    curve, stale, step, start_epoch, wall_prev, seam = \
+    curve, stale, step, start_epoch, wall_prev, seam, best_only = \
         brt._load_resume_state(torch, args, model2, opt2, best)
     assert (start_epoch, step, stale, wall_prev) == (5, 95, 2, 120.0)
-    assert seam is None
+    assert seam is None and best_only is False
     for a, b in zip(model.parameters(), model2.parameters()):
         assert torch.equal(a, b)
     s1, s2 = opt.state_dict()["state"], opt2.state_dict()["state"]
@@ -320,7 +320,8 @@ def test_torch_converged_resume_round_trip(tmp_path):
     model3 = torch.nn.Linear(4, 3)
     opt3 = torch.optim.Adam(model3.parameters(), lr=1e-3)
     best3 = {"recon": float("inf"), "epoch": -1, "state": None}
-    *_, seam3 = brt._load_resume_state(torch, args, model3, opt3, best3)
-    assert "best-only" in seam3
+    *_, seam3, best_only3 = brt._load_resume_state(torch, args, model3,
+                                                   opt3, best3)
+    assert "best-only" in seam3 and best_only3 is True
     for a, b in zip(model.parameters(), model3.parameters()):
         assert torch.equal(a, b)
