@@ -780,7 +780,7 @@ class UnsupervisedExperiment:
     # ----------------------------------------------------- log-likelihood
 
     def log_likelihood(self, dataset, n=500, max_items=None, batch_size=1,
-                       n_chunk=None):
+                       n_chunk=None, return_items=False):
         """Importance-sampled LL over a dataset.
 
         Reference: main.py:134-143 (n=500, batch 1, eval mode). The
@@ -849,5 +849,7 @@ class UnsupervisedExperiment:
             seen += real
         if not vals:                  # empty dataset / max_items=0
             return float("nan")
-        return float(np.mean(np.concatenate(
-            [np.asarray(v)[:r] for v, r in vals])))
+        items = np.concatenate([np.asarray(v)[:r] for v, r in vals])
+        if return_items:              # per-item LLs (diagnostics)
+            return float(np.mean(items)), items
+        return float(np.mean(items))

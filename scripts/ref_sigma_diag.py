@@ -73,6 +73,11 @@ def main(argv=None):
     sigma = {"mean": round(float(sigs.mean()), 4),
              "median": round(float(np.median(sigs)), 4),
              "max": round(float(sigs.max()), 4)}
+    qs = [5, 25, 50, 75, 95]
+    sigma["log10_quantiles"] = {
+        f"p{q:02d}": round(float(v), 3)
+        for q, v in zip(qs, np.percentile(
+            np.log10(sigs.astype(np.float64) + 1e-30), qs))}
     print(f"torch best-ckpt posterior sigma over {len(sigs)//3} items: "
           f"{sigma}", flush=True)
 
@@ -85,9 +90,38 @@ def main(argv=None):
               f"items={args.ll_items}, density k={k}): {ll:.2f}",
               flush=True)
 
+    # per-item LLs (k = reference default) + importance-weight
+    # decomposition: E[recon], E[log q], E[log p] over the sample dim —
+    # locates an LL gap (reconstruction vs posterior-density nats)
+    model.reparameterize[0].k = 10
+    item_lls, e_recon, e_log_q, e_log_p = [], [], [], []
+    with torch.no_grad():
+        for i in range(min(args.ll_items, len(valid))):
+            _, _, img = valid[i]
+            x = img[None]
+            item_lls.append(float(model.log_likelihood(x, args.ll_samples)))
+            x_rec = model.forward(x, 100)
+            e_recon.append(float(model.recon_loss(x_rec, x).mean()))
+            e_log_q.append(float(sum(r.log_posterior()
+                                     for r in model.reparameterize).mean()))
+            e_log_p.append(float(sum(r.log_prior()
+                                     for r in model.reparameterize).mean()))
+    item_lls = np.asarray(item_lls)
+    items = {"min": round(float(item_lls.min()), 2),
+             "p10": round(float(np.percentile(item_lls, 10)), 2),
+             "median": round(float(np.median(item_lls)), 2),
+             "p90": round(float(np.percentile(item_lls, 90)), 2),
+             "max": round(float(item_lls.max()), 2)}
+    decomp = {"E_recon": round(float(np.mean(e_recon)), 2),
+              "E_log_q": round(float(np.mean(e_log_q)), 2),
+              "E_log_p": round(float(np.mean(e_log_p)), 2)}
+    print(f"torch per-item LLs: {items}", flush=True)
+    print(f"torch IW decomposition: {decomp}", flush=True)
+
     res = {"config": "4-spherecube-so3-action (torch reference, "
                      "best-ckpt sigma/shell diagnostics)",
            "sigma_best_ckpt": sigma, "iw_ll_by_k": lls,
+           "iw_ll_best_ckpt_items": items, "iw_decomp_best_ckpt": decomp,
            "ll_items": args.ll_items, "ll_samples": args.ll_samples}
     print(json.dumps(res))
     if args.out:

@@ -78,7 +78,8 @@ def run_framework(args):
         vals = exp.test()
         v = float(vals[0])
         curve.append({"epoch": epoch, "step": (epoch + 1) * steps_per_epoch,
-                      "valid_recon": round(v, 2)})
+                      "valid_recon": round(v, 2),
+                      "valid_kl": round(float(vals[1]), 2)})
         if v < best["recon"]:
             best.update(recon=v, epoch=epoch, state=jax.tree_util.tree_map(
                 np.asarray, {"params": exp.state.params,
@@ -105,7 +106,8 @@ def run_framework(args):
         batch_stats=jax.tree_util.tree_map(
             lambda t, s: s.astype(t.dtype), exp.state.batch_stats,
             best["state"]["batch_stats"]))
-    ll_best = exp.log_likelihood(ll_subset, **ll_kw)
+    ll_best, ll_best_items = exp.log_likelihood(ll_subset, return_items=True,
+                                                **ll_kw)
 
     # diagnostics on the best checkpoint: posterior sigma stats and a
     # deeper-shell (density_k=30) IW-LL — a k=10-vs-k=30 LL gap means the
@@ -125,6 +127,31 @@ def run_framework(args):
     sigma = {"mean": round(float(sig.mean()), 4),
              "median": round(float(jnp.median(sig)), 4),
              "max": round(float(sig.max()), 4)}
+    # the log-space quantiles reveal bimodality (tiny identifiable-axis
+    # components + huge symmetry-axis components average to a bland
+    # median) — the shape that sets the log q scale inside the IW-LL
+    qs = [5, 25, 50, 75, 95]
+    sigma["log10_quantiles"] = {
+        f"p{q:02d}": round(float(v), 3)
+        for q, v in zip(qs, np.percentile(
+            np.log10(np.asarray(sig, np.float64) + 1e-30), qs))}
+    # importance-weight decomposition on the best checkpoint: where do the
+    # LL nats live? E[recon], E[log q], E[log p] over the sample dim tell
+    # whether an LL gap is reconstruction or posterior-density (log q)
+    def _decomp(mdl, x, n):
+        x_recon, st = mdl(x, n=n, train=False)
+        return (mdl.recon_loss(x_recon, x).mean(),
+                sum(s.log_posterior() for s in st).mean(),
+                sum(s.log_prior() for s in st).mean())
+    dr, dq, dp = jax.jit(
+        lambda p, b, x: model.apply(
+            {"params": p, "batch_stats": b}, x, 100, method=_decomp,
+            rngs={"sample": jax.random.PRNGKey(1)}),
+        static_argnums=())(exp.state.params, exp.state.batch_stats,
+                           xb[:args.ll_items])
+    decomp = {"E_recon": round(float(dr), 2),
+              "E_log_q": round(float(dq), 2),
+              "E_log_p": round(float(dp), 2)}
     exp.model = model.clone(density_k=30)
     exp._ll_jit_cache = {}
     ll_best_k30 = exp.log_likelihood(ll_subset, **ll_kw)
@@ -149,7 +176,14 @@ def run_framework(args):
             "iw_ll_final": round(float(ll_final), 2),
             "iw_ll_best_ckpt": round(float(ll_best), 2),
             "iw_ll_best_ckpt_k30": round(float(ll_best_k30), 2),
+            "iw_ll_best_ckpt_items": {
+                "min": round(float(ll_best_items.min()), 2),
+                "p10": round(float(np.percentile(ll_best_items, 10)), 2),
+                "median": round(float(np.median(ll_best_items)), 2),
+                "p90": round(float(np.percentile(ll_best_items, 90)), 2),
+                "max": round(float(ll_best_items.max()), 2)},
             "sigma_best_ckpt": sigma,
+            "iw_decomp_best_ckpt": decomp,
             "ll_items": args.ll_items, "ll_samples": args.ll_samples,
             "train_wall_s": round(wall, 1), "curve": curve}
 
@@ -256,15 +290,22 @@ def write_table(ours, torch_res, args, extra_rows=()):
         + torch_note,
         "",
         "**Reading the table (r4 per-stack attribution).** (1) The r3 "
-        "\"bf16 convergence penalty\" is NOT a numeric quality floor: "
-        "runs differ in whether they escape a ~31-recon plateau before "
-        "the 50-stale-epoch early stop. bf16 with just the final "
-        "image-channel deconv in float32 (`f32head`) — or with a float32 "
-        "encoder — escapes and converges BETTER than full float32 "
-        "(≈22.4 vs 23.76 best recon, both seeds), while plain bf16 and "
-        "bf16+f32-decoder died on the plateau. Production recipe: bf16 "
-        "stacks + float32 image head, at bf16-grade throughput (see the "
-        "chip-rates precision rows). (2) The best-ckpt IW-LL column "
+        "\"bf16 convergence penalty\" is NOT a numeric quality floor — "
+        "it is an early-stop artifact. Runs bifurcate on whether they "
+        "escape a ~28-31-recon plateau before the 50-stale-epoch early "
+        "stop, and the escape is stochastic across seeds within every "
+        "precision config: escaped runs land at ≈22.4-23.8 best recon "
+        "REGARDLESS of precision (full f32 23.76; bf16+f32-encoder "
+        "22.36; bf16+f32-head 22.41), plateau-stuck runs land at ≈27-28 "
+        "(bf16 seeds 0/1, bf16+f32-decoder, bf16+f32-head seed 1; see "
+        "the escape-frequency rows). With escape granted, bf16 compute "
+        "matches or beats f32 converged quality. Production recipe: "
+        "bf16 stacks + float32 image head — pixels render at full "
+        "precision for free (chip-rates precision rows show bf16-grade "
+        "throughput) — plus an early-stop budget generous enough to "
+        "clear the plateau (the reference's own 50-stale default is the "
+        "binding constraint, not the arithmetic). (2) The best-ckpt "
+        "IW-LL column "
         "ranks posterior-σ equilibria, not reconstruction quality: every "
         "best checkpoint on BOTH sides has posterior σ components far "
         "beyond the k=10 wrapped-density validity bound (~15.7), the "
