@@ -95,6 +95,27 @@ def run_framework(args):
             break
     wall = time.perf_counter() - t0
 
+    # persist the best checkpoint for post-hoc diagnostics (outputs/ is
+    # gitignored; the LL-gap study needs to re-evaluate these states)
+    import pickle
+    os.makedirs("outputs/converged_ckpts", exist_ok=True)
+    slug = "".join(c if c.isalnum() else "_" for c in (
+        args.compute_dtype + "_" + "_".join(
+            f"{k}{v}" for k, v in (
+                ("enc", args.encoder_dtype), ("dec", args.decoder_dtype),
+                ("head", args.deconv_head_dtype)) if v != "unset")
+        + (f"_clamp{args.sigma_clamp}" if args.sigma_clamp else "")
+        + f"_s{args.seed}"))
+    ckpt_path = f"outputs/converged_ckpts/{slug}.pkl"
+    with open(ckpt_path, "wb") as f:
+        pickle.dump({"best": best["state"],
+                     "final": jax.tree_util.tree_map(
+                         np.asarray, {"params": exp.state.params,
+                                      "batch_stats": exp.state.batch_stats}),
+                     "meta": {"best_epoch": best["epoch"],
+                              "best_recon": best["recon"]}}, f)
+    print(f"saved best/final states to {ckpt_path}", flush=True)
+
     ll_subset = Subset(valid, np.arange(args.ll_items))
     ll_kw = dict(n=args.ll_samples, max_items=args.ll_items,
                  batch_size=args.ll_batch, n_chunk=args.ll_chunk)
@@ -184,6 +205,7 @@ def run_framework(args):
                 "max": round(float(ll_best_items.max()), 2)},
             "sigma_best_ckpt": sigma,
             "iw_decomp_best_ckpt": decomp,
+            "ckpt_path": ckpt_path,
             "ll_items": args.ll_items, "ll_samples": args.ll_samples,
             "train_wall_s": round(wall, 1), "curve": curve}
 
