@@ -787,9 +787,10 @@ class UnsupervisedExperiment:
         estimator is unchanged; ``batch_size`` and ``n_chunk`` are
         evaluation-throughput features: items are evaluated B at a time
         (the IWAE estimate is per-item, so batching is exact) and the n
-        samples are drawn in lax.scan chunks merged with a running
-        logsumexp, so the (n, B, ...) decoder intermediates never
-        materialize at once. The tail batch is padded and masked out.
+        samples are drawn in host-looped jitted chunks merged with a
+        host-side logaddexp, so the (n, B, ...) decoder intermediates
+        never materialize at once. The tail batch is padded and masked
+        out.
         """
         if n_chunk is None:
             n_chunk = n if batch_size == 1 else max(1, min(n, 50))
@@ -800,29 +801,35 @@ class UnsupervisedExperiment:
             print(f"log_likelihood: n={n} not divisible into {chunks} "
                   f"chunks; using n={n_eff} importance samples")
 
-        def ll_fn(params, bs, x, rng, i):
-            # (cached below: re-jitting per log_likelihood() call would
-            # re-trace every time; the per-batch key folds in-jit to avoid
-            # a remote fold_in dispatch per batch)
+        # One compiled program per CHUNK of n_chunk samples, with every
+        # operand (weights, images, key indices) passed as a jit ARGUMENT
+        # and the chunk loop on the host. The previous in-jit
+        # lax.scan-over-chunks formulation — weights and images captured
+        # as scan constants — MISCOMPILES on the axon TPU runtime: on the
+        # same converged checkpoint it reported IW-LL 25-80 nats BELOW
+        # both the CPU value and the run's own E[w] Jensen lower bound
+        # (impossible for a correct logsumexp; see
+        # scripts/debug_ll_gap.py and BENCHMARKS 'honest LL' notes).
+        # Same class as the known axon closed-over-constants bug
+        # (CLAUDE.md): argument-passed single-apply programs are verified
+        # correct against CPU. Cost: `chunks` dispatches per batch
+        # instead of one (~10 ms each) — negligible for evaluation.
+        def ll_chunk_fn(params, bs, x, rng, i, j):
+            # the per-(batch, chunk) key folds in-jit: an eager host-side
+            # fold_in/split on the axon platform would pay a remote
+            # dispatch (seconds) per call
             variables = self._variables(params, bs)
             xn = self._normalize(x)
-            rng = jax.random.fold_in(rng, i)
+            key = jax.random.fold_in(jax.random.fold_in(rng, i), j)
+            w = self.model.apply(variables, xn, n=n_chunk,
+                                 method="log_weights",
+                                 rngs={"sample": key})       # (n_chunk, B)
+            return jax.nn.logsumexp(w, axis=0)               # (B,)
 
-            def chunk(carry, key):
-                w = self.model.apply(variables, xn, n=n_chunk,
-                                     method="log_weights",
-                                     rngs={"sample": key})   # (n_chunk, B)
-                return jnp.logaddexp(
-                    carry, jax.nn.logsumexp(w, axis=0)), None
-
-            init = jnp.full((x.shape[0],), -jnp.inf, jnp.float32)
-            lse, _ = jax.lax.scan(chunk, init, jax.random.split(rng, chunks))
-            return lse - jnp.log(float(n_eff))               # (B,)
-
-        cache_key = (n_chunk, chunks, n_eff)
+        cache_key = (n_chunk,)
         ll_jit = self._ll_jit_cache.get(cache_key)
         if ll_jit is None:
-            ll_jit = self._ll_jit_cache[cache_key] = jax.jit(ll_fn)
+            ll_jit = self._ll_jit_cache[cache_key] = jax.jit(ll_chunk_fn)
         loader = BatchLoader(dataset, batch_size, shuffle=True,
                              drop_last=False)
         vals, seen = [], 0
@@ -841,11 +848,14 @@ class UnsupervisedExperiment:
             # small eval batches cannot shard over the data axis: replicate
             # (every host evaluates the same items; values are averaged)
             xd = self._put(x, replicate=True)
-            out = ll_jit(self.state.params, self.state.batch_stats, xd,
-                         rng, np.int32(i))
-            # keep results on device until the end: a per-call readback
-            # would pay the full host<->chip round-trip every batch
-            vals.append((out, real))
+            lses = [ll_jit(self.state.params, self.state.batch_stats, xd,
+                           rng, np.int32(i), np.int32(j))
+                    for j in range(chunks)]
+            # merge the chunk logsumexps host-side (float64), then the
+            # - log n normalization
+            lse = np.logaddexp.reduce(
+                np.stack([np.asarray(l, np.float64) for l in lses]), axis=0)
+            vals.append((lse - np.log(float(n_eff)), real))
             seen += real
         if not vals:                  # empty dataset / max_items=0
             return float("nan")

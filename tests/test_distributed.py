@@ -32,8 +32,8 @@ def _free_port():
 
 
 def _run_workers(num_processes, local_devices, tmp_path, timeout=1200,
-                 extra_args=(), attempts=2):
-    """Spawn the worker set; on a Gloo context-init timeout, retry once.
+                 extra_args=(), attempts=3):
+    """Spawn the worker set; on a Gloo context-init timeout, retry.
 
     Gloo's rendezvous (KV exchange + TCP connect) has a hard 30 s window
     per communicator context. On this single-core CI host, heavy
