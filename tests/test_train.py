@@ -278,7 +278,45 @@ def test_log_likelihood_batched_matches_loop(tmp_path):
     assert np.isfinite(ll_two)
 
 
-def test_training_is_deterministic():
+def test_log_likelihood_respects_jensen_bound(tmp_path):
+    """The IW-LL must sit ABOVE the E[w] Jensen lower bound (logsumexp
+    >= mean). The r4 TPU miscompile (in-jit scan-over-chunks with
+    captured weights) produced LLs 25-80 nats BELOW E[w] on converged
+    checkpoints — this invariant is the platform-independent tripwire;
+    run it on any new backend before trusting its LL numbers."""
+    import numpy as np
+    import jax
+    from lie_vae_tpu.data.toy import ToyDataset
+    from lie_vae_tpu.models import LieVAE
+    from lie_vae_tpu.train.loop import UnsupervisedExperiment
+    from lie_vae_tpu.train.schedules import ConstantSchedule
+
+    ds = ToyDataset.generate(12, degrees=2, rep_copies=3, seed=0)
+    model = LieVAE(latent_mode="so3", decoder_mode="action",
+                   mean_mode="s2s2", encode_mode="toy", deconv_mode="toy",
+                   degrees=2, rep_copies=3)
+    exp = UnsupervisedExperiment(
+        model=model, train_dataset=ds, test_dataset=ds,
+        batch_size=4, lr=1e-3, beta_schedule=ConstantSchedule(1.0),
+        log=str(tmp_path))
+    ll, items = exp.log_likelihood(ds, n=64, batch_size=4, n_chunk=16,
+                                   max_items=8, return_items=True)
+    assert np.isfinite(items).all() and len(items) == 8
+
+    # E[w] from an independent direct apply (different keys): with n=256
+    # samples the MC error on the mean is well under the tolerance
+    import jax.numpy as jnp
+    xb = jnp.asarray(ds.gather(np.arange(8))[-1])
+
+    def _w(mdl, x, n):
+        return mdl.log_weights(x, n=n)
+
+    w = model.apply({"params": exp.state.params}, xb, 256, method=_w,
+                    rngs={"sample": jax.random.PRNGKey(7)})
+    e_w = float(np.mean(np.asarray(w, np.float64)))
+    assert ll > e_w - 2.0, (
+        f"IW-LL {ll:.2f} fell below the Jensen lower bound E[w]={e_w:.2f}"
+        " — the estimator is computing different weights than the model")
     """Same seed + data -> bitwise-identical params and metrics after an
     epoch: the jitted step's RNG folds from (seed, global step) only, and
     nothing in the loop depends on host timing."""
