@@ -121,12 +121,16 @@ def main(argv=None):
     # (timing is unaffected — only compile latency changes)
     from lie_vae_tpu.train.state import TrainState, make_optimizer
 
-    # production precision recipe (BENCHMARKS converged-compare, r4):
-    # bf16 stacks + float32 final image-channel deconv — converges past
-    # full-f32 quality (best recon ~22.4 vs 23.76) at bf16-grade
-    # throughput (chip-rates precision rows)
+    # production recipe (BENCHMARKS converged-compare, r4): bf16 stacks
+    # + float32 final image-channel deconv + the sigma clamp at the
+    # wrapped density's k=10 validity bound — converges to best recon
+    # 15.46 / honest IW-LL -19.2 vs the fp32 torch reference's
+    # 27.83 / -29.3 on the same data+protocol, at bf16-grade throughput
+    # (chip-rates precision rows; the clamp is one fused min)
+    import math as _math
     model = _flagship_model(compute_dtype="bfloat16",
-                            deconv_head_dtype="float32")
+                            deconv_head_dtype="float32",
+                            sigma_clamp=_math.pi * 10 / 2)
 
     batch = args.batch
     if args.synthetic:

@@ -206,6 +206,12 @@ def run_framework(args):
             "sigma_best_ckpt": sigma,
             "iw_decomp_best_ckpt": decomp,
             "ckpt_path": ckpt_path,
+            # this run's LLs were computed with the fixed (host-looped
+            # chunk) estimator — see the r4 LL-miscompile fix in
+            # train/loop.py; rows without this marker (and without
+            # ll_reevaluated) predate the fix and their LLs read low
+            "ll_fixed": True,
+            "epoch_cap": args.epochs, "early_stop": args.early_stop,
             "ll_items": args.ll_items, "ll_samples": args.ll_samples,
             "train_wall_s": round(wall, 1), "curve": curve}
 
@@ -237,16 +243,26 @@ def write_table(ours, torch_res, args, extra_rows=()):
     """extra_rows: additional (label, result-dict) framework rows (e.g.
     the float32 attribution run) appended after the main framework row."""
     def row(label, r):
+        # LLs from runs that predate the r4 LL-estimator fix (TPU
+        # miscompile, train/loop.py) read 25-80 nats LOW; dagger them.
+        # torch rows run on CPU and were never affected.
+        fixed = (r.get("ll_fixed") or r.get("ll_reevaluated")
+                 or "torch" in str(r.get("config", "")))
+        dag = "" if fixed else "†"
+
         def v(x):
             return "—" if x is None else x
+
+        def ll(x):
+            return "—" if x is None else f"{x}{dag}"
         sig = r.get("sigma_best_ckpt")
         sig = (f"{sig['median']:.1f} / {sig['max']:.0f}" if sig else "—")
         return (f"| {label} | {r['epochs']} | {r['steps']} "
                 f"| {r['best_valid_recon']} (ep {r['best_epoch']}) "
-                f"| {v(r['final_valid_recon'])} | {v(r['iw_ll_best_ckpt'])} "
-                f"| {v(r.get('iw_ll_best_ckpt_k30'))} "
+                f"| {v(r['final_valid_recon'])} | {ll(r['iw_ll_best_ckpt'])} "
+                f"| {ll(r.get('iw_ll_best_ckpt_k30'))} "
                 f"| {sig} "
-                f"| {v(r['iw_ll_final'])} "
+                f"| {ll(r['iw_ll_final'])} "
                 f"| {r['train_wall_s'] / 60:.1f} min |")
 
     # a reference row finalized from persisted state (run killed by a
@@ -311,34 +327,37 @@ def write_table(ours, torch_res, args, extra_rows=()):
         "— this compares converged quality, not trajectories."
         + torch_note,
         "",
-        "**Reading the table (r4 per-stack attribution).** (1) The r3 "
-        "\"bf16 convergence penalty\" is NOT a numeric quality floor — "
-        "it is an early-stop artifact. Runs bifurcate on whether they "
-        "escape a ~28-31-recon plateau before the 50-stale-epoch early "
-        "stop, and the escape is stochastic across seeds within every "
-        "precision config: escaped runs land at ≈22.4-23.8 best recon "
-        "REGARDLESS of precision (full f32 23.76; bf16+f32-encoder "
-        "22.36; bf16+f32-head 22.41), plateau-stuck runs land at ≈27-28 "
-        "(bf16 seeds 0/1, bf16+f32-decoder, bf16+f32-head seed 1; see "
-        "the escape-frequency rows). With escape granted, bf16 compute "
-        "matches or beats f32 converged quality. Production recipe: "
-        "bf16 stacks + float32 image head — pixels render at full "
-        "precision for free (chip-rates precision rows show bf16-grade "
-        "throughput) — plus an early-stop budget generous enough to "
-        "clear the plateau (the reference's own 50-stale default is the "
-        "binding constraint, not the arithmetic). (2) The best-ckpt "
-        "IW-LL column "
-        "ranks posterior-σ equilibria, not reconstruction quality: every "
-        "best checkpoint on BOTH sides has posterior σ components far "
-        "beyond the k=10 wrapped-density validity bound (~15.7), the "
-        "LLs are shell-stable (k=30 within ~0.5 nat of k=10 on every "
-        "row, so truncation bias is small — at these σ the density is "
-        "flat either way), and the LL ordering tracks the σ median "
-        "(torch 2.2 → −29, ours 19-27 → −55..−96): the broad/symmetric-"
-        "axis σ drift sets in later in training than the torch run's "
-        "early best epoch. `--sigma_clamp auto` is the framework's "
-        "training-time mitigation (clamped row below); recon, the metric "
-        "both sides optimize, is the converged-quality comparison.",
+        "**Reading the table (r4).** (1) **Headline:** the production "
+        "recipe — bf16 compute + float32 image head + `--sigma_clamp "
+        "auto` — converges to best recon **15.46** and honest IW-LL "
+        "**−19.2** vs the fp32 torch reference's 27.83 / −29.3 on the "
+        "same pose-pinned data and estimator protocol: the framework "
+        "beats the reference on both quality metrics (deterministically "
+        "reproduced; curve identical across two runs). The recipe needs "
+        "an early-stop budget above the reference's 50-stale default "
+        "(clamp rows ran cap 900 / stale 75; all other rows the "
+        "reference protocol) — the binding constraint is a ~28-31-recon "
+        "plateau whose escape is seed-stochastic in every precision "
+        "config (escaped: f32 23.76, bf16+f32-enc 22.36, bf16+f32-head "
+        "22.41; stuck: bf16 s0/s1 ~27-28). Under the clamp the "
+        "bifurcation is starker: escape to a concentrated posterior "
+        "(15.46 s0, 23.25 s1) vs collapse onto the clamp bound (f32 "
+        "29.15, bf16 29.28, σ pinned at 15.708) — the clamp bounds σ, "
+        "it does not force pose concentration. (2) **The LL column "
+        "carries an estimator-fix audit:** every framework IW-LL "
+        "published before r4's fix was computed by a TPU-miscompiled "
+        "program (in-jit scan-over-chunks; see train/loop.py and "
+        "scripts/debug_ll_gap.py) and read 25-80 nats LOW — its own "
+        "E[w] Jensen bound refuted it. † marks surviving pre-fix "
+        "numbers (recon columns were never affected); unmarked rows are "
+        "post-fix or re-evaluated from saved checkpoints "
+        "(scripts/reeval_ll.py), Jensen-consistent, and k=30-stable. "
+        "With honest LLs the picture is clean: concentrated escaped "
+        "posteriors score best (−19.2), clamp-collapsed broad ones "
+        "cluster with the torch reference (≈−27..−29, torch σ is also "
+        "broad: mean 17.9), and per-item quantiles + the "
+        "E[recon]/E[log q] decomposition are recorded in each run "
+        "JSON.",
         "",
         "| implementation | epochs | steps | best valid recon | final "
         "valid recon | IW-LL (best ckpt) | IW-LL (k=30) | σ med/max "
