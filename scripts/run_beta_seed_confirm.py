@@ -127,7 +127,8 @@ def write_table(results, args):
             f"{args.epochs}), compute_dtype={args.compute_dtype}. "
             "'best-ckpt LL' re-evaluates the best-validation checkpoint "
             f"at density_k={k_lo} and {k_hi} (shell stability); σ_max is "
-            "the best checkpoint's largest posterior σ component. Driven "
+            "the best checkpoint's largest posterior σ component. LLs "
+            "use the post-r4-fix host-looped estimator. Driven "
             "by `scripts/run_beta_seed_confirm.py`."),
         header=("| run | best test recon | final LL | best-ckpt LL "
                 f"(k={k_lo}) | best-ckpt LL (k={k_hi}) | σ_max |"),

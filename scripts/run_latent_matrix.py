@@ -156,7 +156,10 @@ def write_table(results, args):
             + _pose_pin_note(getattr(args, "data_dir", ""))
             + ". LL = importance-sampled "
             "test log-likelihood, n=500 (the reference's final eval, "
-            "main.py:134-143). Driven through `lie_vae_tpu.cli.main` by "
+            "main.py:134-143), computed with the post-r4-fix host-looped "
+            "estimator unless a row is marked † (pre-fix value, reads "
+            "low — see the audit note at the top of this file). Driven "
+            "through `lie_vae_tpu.cli.main` by "
             "`scripts/run_latent_matrix.py`."),
         header="| latent space / decoder | best test recon "
                "| test LL (n=500) |",
