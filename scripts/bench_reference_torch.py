@@ -355,6 +355,7 @@ def converged_run(torch, model, train, valid, batch_size, beta, prep,
             "stale_at_stop": stale,
             "iw_ll_final": ll_final,
             "iw_ll_best_ckpt": round(ll_best, 2),
+            "epoch_cap": args.epochs, "early_stop": args.early_stop,
             "ll_items": args.ll_items, "ll_samples": args.ll_samples,
             "train_wall_s": round(wall, 1), "seam": seam, "curve": curve}
 

@@ -25,6 +25,22 @@ def load(run_name):
         for line in f:
             d = json.loads(line)
             series.setdefault(d["tag"], []).append((d["step"], d["value"]))
+    # metrics.jsonl is opened in append mode by MetricWriter, so re-running
+    # a run NAME concatenates step series that restart at 0 (ADVICE r4):
+    # keep only the LAST monotonic segment per tag so the table and the
+    # best/min stats describe one run, and say so when older runs existed.
+    truncated = False
+    for tag, pts in series.items():
+        start = 0
+        for i in range(1, len(pts)):
+            if pts[i][0] < pts[i - 1][0]:
+                start = i
+        if start:
+            truncated = True
+            series[tag] = pts[start:]
+    if truncated:
+        print(f"NOTE: {path} holds multiple runs (step counter restarts); "
+              "summarizing only the most recent one")
     return series
 
 

@@ -127,9 +127,11 @@ def write_table(results, args):
             f"{args.epochs}), compute_dtype={args.compute_dtype}. "
             "'best-ckpt LL' re-evaluates the best-validation checkpoint "
             f"at density_k={k_lo} and {k_hi} (shell stability); σ_max is "
-            "the best checkpoint's largest posterior σ component. LLs "
-            "use the post-r4-fix host-looped estimator. Driven "
-            "by `scripts/run_beta_seed_confirm.py`."),
+            "the best checkpoint's largest posterior σ component. Rows "
+            "produced by this script post-r4 use the fixed host-looped "
+            "LL estimator (a partial rerun preserves prior rows "
+            "verbatim — their provenance is the round that wrote them). "
+            "Driven by `scripts/run_beta_seed_confirm.py`."),
         header=("| run | best test recon | final LL | best-ckpt LL "
                 f"(k={k_lo}) | best-ckpt LL (k={k_hi}) | σ_max |"),
         descriptions=descriptions, results=rows,

@@ -42,7 +42,8 @@ def run_framework(args):
     from lie_vae_tpu.data import SphereCubeDataset, random_split
     from lie_vae_tpu.data.splits import Subset
     from lie_vae_tpu.models import LieVAE
-    from lie_vae_tpu.train import ConstantSchedule, UnsupervisedExperiment
+    from lie_vae_tpu.train import (ConstantSchedule, LinearSchedule,
+                                   UnsupervisedExperiment)
 
     ds = SphereCubeDataset(args.data_dir)
     nv = max(16, len(ds) // 5)
@@ -61,10 +62,18 @@ def run_framework(args):
                    decoder_dtype=args.decoder_dtype,
                    deconv_head_dtype=args.deconv_head_dtype,
                    sigma_clamp=sigma_clamp)
+    # plateau-escape reliability lever (VERDICT r4 next-step 1c): a short
+    # linear beta warm-up (0 -> 1 over --beta_warmup steps) lets the
+    # encoder learn pose before full KL pressure can collapse the
+    # posterior onto the clamp bound; constant beta=1 elsewhere keeps the
+    # reference protocol (main.py:103, beta_schedule None -> constant)
+    beta_schedule = (LinearSchedule(0.0, 1.0, 0, args.beta_warmup)
+                     if args.beta_warmup else ConstantSchedule(1.0))
     exp = UnsupervisedExperiment(
         model=model, train_dataset=train, test_dataset=valid,
-        beta_schedule=ConstantSchedule(1.0), batch_size=64,
+        beta_schedule=beta_schedule, batch_size=64,
         report_freq=10 ** 9, lr=1e-3, clip_grads=1e-5,
+        elbo_samples=args.elbo_samples,
         steps_per_call=args.steps_per_call, device_data=True,
         seed=args.seed)
 
@@ -105,6 +114,8 @@ def run_framework(args):
                 ("enc", args.encoder_dtype), ("dec", args.decoder_dtype),
                 ("head", args.deconv_head_dtype)) if v != "unset")
         + (f"_clamp{args.sigma_clamp}" if args.sigma_clamp else "")
+        + (f"_warm{args.beta_warmup}" if args.beta_warmup else "")
+        + (f"_es{args.elbo_samples}" if args.elbo_samples != 1 else "")
         + f"_s{args.seed}"))
     ckpt_path = f"outputs/converged_ckpts/{slug}.pkl"
     with open(ckpt_path, "wb") as f:
@@ -182,6 +193,10 @@ def run_framework(args):
                   ("head", args.deconv_head_dtype)) if v != "unset"]
     if args.sigma_clamp:
         overrides.append(f"sigma_clamp={args.sigma_clamp}")
+    if args.beta_warmup:
+        overrides.append(f"beta_warmup={args.beta_warmup}")
+    if args.elbo_samples != 1:
+        overrides.append(f"elbo_samples={args.elbo_samples}")
     if args.seed:
         overrides.append(f"seed={args.seed}")
     if overrides:
@@ -249,6 +264,13 @@ def write_table(ours, torch_res, args, extra_rows=()):
         fixed = (r.get("ll_fixed") or r.get("ll_reevaluated")
                  or "torch" in str(r.get("config", "")))
         dag = "" if fixed else "†"
+        # per-row budget disclosure: a row that ran a different early-stop
+        # budget than the caption's protocol says so inline (ADVICE r4:
+        # the caption must not assert one protocol for all rows)
+        cap, es = r.get("epoch_cap"), r.get("early_stop")
+        if ((cap is not None and cap != args.epochs)
+                or (es is not None and es != args.early_stop)):
+            label += f" — ext. budget cap {cap}/stale {es}"
 
         def v(x):
             return "—" if x is None else x
@@ -310,9 +332,11 @@ def write_table(ours, torch_res, args, extra_rows=()):
         "### Converged reference comparison (config 4, 2048 ray-cast "
         "renders)",
         "",
-        f"Both sides run the reference's exact protocol: epoch loop to "
+        f"Both sides run the reference's protocol: epoch loop to "
         f"early stop ({args.early_stop} stale epochs, cap {args.epochs} — "
-        "3x the reference's own default budget, main.py:164), "
+        "3x the reference's own default budget, main.py:164; rows marked "
+        "'ext. budget' inline ran the longer cap/stale shown there, and "
+        "are only compared against rows with the same budget), "
         "best-valid-recon checkpoint kept, then the final importance-"
         f"weighted LL (n={args.ll_samples}) on the first {args.ll_items} "
         "validation items in split order — for both the final model and "
@@ -405,6 +429,12 @@ def main(argv=None):
     p.add_argument("--deconv_head_dtype", default="unset")
     p.add_argument("--seed", type=int, default=0,
                    help="experiment RNG seed (plateau-escape replication)")
+    p.add_argument("--beta_warmup", type=int, default=0,
+                   help="linear beta 0->1 over this many steps (plateau-"
+                        "escape reliability lever; 0 = reference constant "
+                        "beta=1)")
+    p.add_argument("--elbo_samples", type=int, default=1,
+                   help="MC samples per ELBO term (reference default 1)")
     p.add_argument("--sigma_clamp", default=None,
                    help="'auto' clamps the posterior sigma at the wrapped "
                         "density's k=10 validity bound during training "
