@@ -1,0 +1,157 @@
+"""Plateau-escape forensics across production-recipe seeds (r5).
+
+The converged-compare story's binding constraint is a ~28-31-recon
+plateau: every config first settles there, and only some seeds escape
+to the concentrated-posterior optimum (~15-17 recon, IW-LL ~ -20).
+This tool reads the per-epoch (recon, KL) curves that
+`scripts/run_converged_compare.py` stores in each run JSON
+(converged_state/framework_*.json) and extracts, per seed:
+
+- plateau exit epoch: first epoch with valid recon < --exit (default 25,
+  comfortably below the plateau band and above the escaped optimum);
+- the KL level just before exit vs on the plateau: escape is a KL
+  *expansion* event (the posterior starts spending nats on pose);
+- best recon / best-ckpt IW-LL / sigma stats for the outcome column.
+
+Writes a compact table + mechanism paragraph between `escape-study`
+markers in BENCHMARKS.md. Reference protocol being extended:
+/root/reference/lie_vae/experiments/main.py:117-143.
+
+Run: python scripts/analyze_escape.py converged_state/framework_headf32_clamp_*.json
+"""
+import argparse
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BEGIN, END = "<!-- escape-study:begin -->", "<!-- escape-study:end -->"
+
+
+def study(path, exit_recon):
+    r = json.load(open(path))
+    curve = r["curve"]
+    seed = 0
+    for tok in str(r.get("precision", "")).replace(")", ",").split(","):
+        tok = tok.strip()
+        if tok.startswith("seed="):
+            seed = int(tok[5:])
+    exit_ep = next((c["epoch"] for c in curve
+                    if c["valid_recon"] < exit_recon), None)
+    # escape means reaching the CONCENTRATED-posterior optimum, not just
+    # dipping under the recon threshold: a clamp-collapsed run (sigma
+    # median pinned at the pi*k/2 = 15.708 bound) can still grind recon
+    # into the low 20s while its IW-LL sits ~ -100 (seed 1, r4) — that is
+    # the failure mode, not the escape
+    sig_med = (r.get("sigma_best_ckpt") or {}).get("median")
+    concentrated = sig_med is not None and sig_med < 1.0
+    escaped = exit_ep is not None and concentrated
+    # plateau KL: median KL over epochs 20..exit (or ..end if no escape);
+    # exit KL: KL at the exit epoch (escaped runs only)
+    kls = [c.get("valid_kl") for c in curve]
+    have_kl = all(k is not None for k in kls[:5])
+    end = exit_ep if exit_ep is not None else len(curve)
+    plateau = sorted(k for c, k in zip(curve, kls)
+                     if 20 <= c["epoch"] < max(end, 21) and k is not None)
+    plateau_kl = plateau[len(plateau) // 2] if plateau else None
+    kl_at_exit = (next((k for c, k in zip(curve, kls)
+                        if c["epoch"] == exit_ep), None)
+                  if exit_ep is not None else None)
+    final_kl = kls[-1] if have_kl else None
+    sig = r.get("sigma_best_ckpt") or {}
+    return {
+        "seed": seed, "escaped": escaped,
+        "exit_epoch": exit_ep, "plateau_kl": plateau_kl,
+        "kl_at_exit": kl_at_exit, "final_kl": final_kl,
+        "best_recon": r["best_valid_recon"],
+        "ll_best": r.get("iw_ll_best_ckpt"),
+        "ll_fixed": bool(r.get("ll_fixed")),
+        "sigma_med": sig.get("median"), "sigma_max": sig.get("max"),
+        "epochs": r["epochs"], "precision": r.get("precision"),
+        "path": path,
+    }
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("jsons", nargs="*",
+                   default=sorted(glob.glob(
+                       "converged_state/framework_headf32_clamp_*.json")))
+    p.add_argument("--exit", type=float, default=25.0)
+    p.add_argument("--out", default="BENCHMARKS.md")
+    p.add_argument("--no_write", action="store_true")
+    args = p.parse_args(argv)
+
+    rows, seen = [], set()
+    for path in args.jsons:
+        s = study(path, args.exit)
+        # one row per seed: prefer the post-fix (ll_fixed) result
+        if s["seed"] in seen:
+            prev = next(r for r in rows if r["seed"] == s["seed"])
+            if s["ll_fixed"] and not prev["ll_fixed"]:
+                rows.remove(prev)
+            else:
+                continue
+        seen.add(s["seed"])
+        rows.append(s)
+    rows.sort(key=lambda r: ("warm" in str(r["precision"]), r["seed"]))
+
+    base = [r for r in rows if "warm" not in str(r["precision"])]
+    lever = [r for r in rows if "warm" in str(r["precision"])]
+    esc = sum(r["escaped"] for r in base)
+
+    def fmt(x, nd=2):
+        return "—" if x is None else (round(x, nd) if isinstance(x, float)
+                                      else x)
+
+    lines = [BEGIN,
+             "### Plateau-escape study (production recipe, "
+             "bf16 + f32 head + `--sigma_clamp auto`)",
+             "",
+             f"**Escape fraction: {esc}/{len(base)} seeds** reach the "
+             f"concentrated-posterior optimum under cap 900 / stale 75 "
+             f"(escape = valid recon < {args.exit} AND best-ckpt σ median "
+             "< 1 — a clamp-collapsed posterior pinned at σ = π·k/2 can "
+             "still grind recon into the low 20s but scores IW-LL ≈ "
+             "−100). Driven by "
+             "`scripts/run_converged_compare.py --seed N`; curves "
+             "analyzed by `scripts/analyze_escape.py`. LLs: post-fix "
+             "host-looped estimator.",
+             "",
+             "| run | escaped | exit epoch | plateau KL | KL at exit | "
+             "final KL | best recon | IW-LL (best) | σ med/max |",
+             "|---|---|---|---|---|---|---|---|---|"]
+    for r in base + lever:
+        name = f"seed {r['seed']}"
+        if "warm" in str(r["precision"]):
+            name += " + β warm-up"
+        lines.append(
+            f"| {name} | {'yes' if r['escaped'] else 'NO'} "
+            f"| {fmt(r['exit_epoch'])} | {fmt(r['plateau_kl'])} "
+            f"| {fmt(r['kl_at_exit'])} | {fmt(r['final_kl'])} "
+            f"| {r['best_recon']} | {fmt(r['ll_best'])}"
+            f"{'' if r['ll_fixed'] else '†'} "
+            f"| {fmt(r['sigma_med'], 3)} / {fmt(r['sigma_max'], 1)} |")
+    lines.append(END)
+    block = "\n".join(lines)
+    print(block)
+    if args.no_write:
+        return rows
+    doc = open(args.out).read()
+    if BEGIN in doc:
+        pre, rest = doc.split(BEGIN, 1)
+        _, post = rest.split(END, 1)
+        doc = pre + block + post
+    else:
+        anchor = "<!-- converged-compare:end -->"
+        doc = doc.replace(anchor, anchor + "\n\n" + block, 1)
+    with open(args.out, "w") as f:
+        f.write(doc)
+    print(f"updated {args.out}")
+    return rows
+
+
+if __name__ == "__main__":
+    main()

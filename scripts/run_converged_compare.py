@@ -462,6 +462,11 @@ def main(argv=None):
                   "float32": "lie_vae_tpu (1 TPU chip, float32 compute)"}
 
         def label(r):
+            # a torch-side result may also appear among --merge files
+            # (e.g. the extended-budget reference run next to the
+            # protocol run supplied via --torch_json)
+            if "torch" in str(r.get("config", "")):
+                return "PyTorch reference (CPU, fp32)"
             p = r.get("precision")
             if p and p not in labels:
                 return f"lie_vae_tpu (1 TPU chip, {p})"
