@@ -68,10 +68,24 @@ _PRESETS = {
 
 
 def get_beta_schedule(schedule, beta):
-    """Reference: get_beta_schedule, beta_schedule.py:4-59."""
+    """Reference: get_beta_schedule, beta_schedule.py:4-59.
+
+    Extension beyond the reference's preset table: ``warmupN`` (e.g.
+    ``warmup2000``) is a linear ramp 0 -> beta over the first N steps —
+    the production-recipe warm-up lever (BENCHMARKS escape-study block);
+    identical to `scripts/run_converged_compare.py --beta_warmup N`.
+    """
     if schedule is None and beta is not None:
         return ConstantSchedule(beta)
     if schedule in _PRESETS:
         return LinearSchedule(*_PRESETS[schedule])
+    if schedule is not None and schedule.startswith("warmup"):
+        try:
+            steps = int(schedule[len("warmup"):])
+        except ValueError:
+            steps = 0
+        if steps > 0:
+            return LinearSchedule(0.0, beta if beta is not None else 1.0,
+                                  0, steps)
     raise ValueError(
         f"Wrong beta schedule. Schedule={schedule}, beta={beta}")

@@ -48,11 +48,17 @@ def run_arm(impl, seed, args):
     from scripts._results_table import read_ll
     from scripts.eval_checkpoint import evaluate
 
+    # impl == "recipe": the shear rotation PLUS the production convergence
+    # recipe (bf16 + f32 image head + sigma clamp + beta warm-up 2000 — the
+    # lever study in BENCHMARKS escape-study) — quality push, not an A/B arm.
+    rotate = "shear" if impl == "recipe" else impl
+    recipe = (["--deconv_head_dtype", "float32", "--sigma_clamp", "auto",
+               "--beta_schedule", "warmup2000"] if impl == "recipe" else [])
     run_name = f"shear-ab-{impl}-s{seed}"
-    argv = MODEL + [
+    argv = MODEL + recipe + [
         "--config", "scpairs", "reg",
         "--data_dir", args.data_dir,
-        "--equivariance_rotate", impl,
+        "--equivariance_rotate", rotate,
         "--epochs", str(args.epochs),
         "--max_early_stop", str(args.max_early_stop),
         "--report_freq", str(args.report_freq),
@@ -65,7 +71,9 @@ def run_arm(impl, seed, args):
         argv.append("--device_data")
     exp = cli_main.main(argv)
 
-    eval_args = cli_main.parse_args(MODEL + [
+    eval_args = cli_main.parse_args(MODEL + (
+        ["--deconv_head_dtype", "float32", "--sigma_clamp", "auto"]
+        if impl == "recipe" else []) + [
         "--config", "scpairs",
         "--data_dir", args.data_dir,
         "--compute_dtype", args.compute_dtype,
@@ -95,8 +103,15 @@ def write_table(results, args):
                 f"| {r['final_kl']} | {final} | {lo} | {hi} | {sig} |")
 
     labels = {"shear": "three-shear MXU rotation (training default)",
-              "gather": "bilinear gather (reference semantics)"}
-    descriptions, rows = {}, {}
+              "gather": "bilinear gather (reference semantics)",
+              "recipe": ("three-shear + production recipe (f32 head, "
+                         "σ clamp, β warm-up 2000)")}
+    # always list the standard arms so a partial rerun (e.g. --impls
+    # recipe) preserves the other rows verbatim from the existing table
+    descriptions = {"gather-s0": labels["gather"],
+                    "shear-s0": labels["shear"],
+                    "recipe-s0": labels["recipe"]}
+    rows = {}
     for (impl, seed), r in sorted(results.items()):
         key = f"{impl}-s{seed}"
         descriptions[key] = labels.get(impl, impl) + (
@@ -116,8 +131,12 @@ def write_table(results, args):
             f"at density_k={k_lo}/{k_hi}. The r3 default flip to 'shear' "
             "bought a 15.9x step speedup (BENCHMARKS regularized rows); "
             "this table checks the trained OUTCOME is equivalent — the "
-            "seed-study noise bar is σ(LL) ≈ 7 nats. Driven by "
-            "`scripts/run_shear_ab.py`."),
+            "seed-study noise bar is σ(LL) ≈ 7 nats. The 'production "
+            "recipe' row is a separate quality-push arm (shear rotation "
+            "+ f32 image head + `--sigma_clamp auto` + `--beta_schedule "
+            "warmup2000` — the converged-compare production recipe "
+            "applied to the regularized config), not part of the A/B. "
+            "Driven by `scripts/run_shear_ab.py`."),
         header=("| rotation impl | best test recon | final recon | final "
                 f"KL | final LL | best-ckpt LL (k={k_lo}) | best-ckpt LL "
                 f"(k={k_hi}) | σ_max |"),

@@ -37,6 +37,23 @@ def test_beta_schedule_presets():
         get_beta_schedule("t", None)  # deliberately missing in the reference
 
 
+def test_beta_schedule_warmup_extension():
+    # Framework extension: 'warmupN' = linear ramp 0 -> beta over N steps
+    # (the production-recipe lever; identical to run_converged_compare's
+    # --beta_warmup N). Not a reference preset.
+    w = get_beta_schedule("warmup2000", 1.0)
+    np.testing.assert_allclose(w(0), 0.0)
+    np.testing.assert_allclose(w(1000), 0.5)
+    np.testing.assert_allclose(w(2000), 1.0)
+    np.testing.assert_allclose(w(10 ** 6), 1.0)
+    # ramps to the requested beta, not hard-coded 1
+    np.testing.assert_allclose(get_beta_schedule("warmup100", 0.5)(50), 0.25)
+    with pytest.raises(ValueError):
+        get_beta_schedule("warmup0", 1.0)
+    with pytest.raises(ValueError):
+        get_beta_schedule("warmupx", 1.0)
+
+
 def test_clip_then_adam_ordering():
     """Gradient must be clipped to the global-norm bound before Adam."""
     params = {"w": jnp.asarray([10.0, 10.0])}
