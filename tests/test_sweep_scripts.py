@@ -219,6 +219,33 @@ def test_beta_sweep_merge(tmp_path):
     assert doc2.count(rbs.BEGIN) == 1
 
 
+def test_shear_ab_partial_rerun_preserves_rows(tmp_path):
+    """A recipe-only rerun (--impls recipe) must preserve the gather/shear
+    A/B rows verbatim from the existing table (the r5 recipe arm lands in
+    the same marker block)."""
+    from scripts import run_shear_ab as rsa
+
+    out = str(tmp_path / "B.md")
+    args = types.SimpleNamespace(out=out, data_dir="data/x", epochs=400,
+                                 max_early_stop=50,
+                                 compute_dtype="bfloat16",
+                                 density_k=[10, 30])
+    res = {"best_recon": 8.97, "final_recon": 9.38, "final_kl": 12.699,
+           "final_ll": -19.5, "best_ll": {10: -18.8, 30: -18.8},
+           "sigma_max": 0.032}
+    rsa.write_table({("shear", 0): res, ("gather", 0): dict(res)}, args)
+    doc1 = open(out).read()
+    assert "three-shear MXU rotation (training default) | 8.97" in doc1
+
+    recipe = dict(res, best_recon=12.61, best_ll={10: -20.11, 30: -20.11})
+    rsa.write_table({("recipe", 0): recipe}, args)
+    doc2 = open(out).read()
+    assert "three-shear MXU rotation (training default) | 8.97" in doc2
+    assert "bilinear gather (reference semantics) | 8.97" in doc2
+    assert "production recipe" in doc2 and "| 12.61 |" in doc2
+    assert doc2.count(rsa.BEGIN) == 1
+
+
 def test_converged_compare_merge(tmp_path):
     """--merge mode: bf16 + f32 framework JSONs + the torch converged
     JSONL land as three rows (reference first), without training."""
